@@ -1,0 +1,259 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Star-schema join/aggregate suite over the driver's TPC-H-style tables.
+  *
+  * The reference has no joins (SURVEY.md §2.4 — its only multi-collection
+  * interaction is envelope composition), so this suite is the scale tier:
+  * the queries a user of a real analytics engine runs over the same star
+  * schema. Shapes follow the public TPC-H query patterns (pricing summary,
+  * shipping priority, local-supplier volume, returned items) adapted to the
+  * driver's column subset.
+  *
+  * Scale design notes (100 TB):
+  *  - Dimension tables (region 5, nation 25, supplier sf*1K) are broadcast —
+  *    no shuffle of the fact side for those joins.
+  *  - customer⋈orders and orders⋈lineitem are fact-fact: left to AQE, which
+  *    picks shuffled-hash/sort-merge and handles skew at runtime.
+  *  - All money aggregates use exact integer-cents arithmetic (see
+  *    [[Q.cents]]): associative, partial-aggregation-friendly, and
+  *    bit-identical across engines and partitionings. At extreme scale the
+  *    Long cents sums for the 6-decimal charge column would need
+  *    decimal(38,6); noted inline.
+  *  - Every query ends in a groupBy/topK whose result is small — nothing
+  *    materializes the fact tables to the driver.
+  */
+object StarQueries {
+  import Q._
+
+  /** sum of a 2-decimal money column, in cents (exact Long). */
+  private def sumCents(c: org.apache.spark.sql.Column) = sum(round(c * 100).cast("long"))
+
+  /** per-row revenue extprice*(1-disc) in 10^-4 units (exact Long). */
+  private def revUnits =
+    (round(col("l_extendedprice") * 100).cast("long") *
+      round((lit(1) - col("l_discount")) * 100).cast("long"))
+
+  /** SQL mirror of [[revUnits]]. */
+  private val revUnitsSql =
+    "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)"
+
+  val queries: Map[String, Fn] = Map(
+    // Q1-shape pricing summary: single fact scan, partial+final hash agg,
+    // 6 aggregates in one pass; the filter reaches the parquet scan as a
+    // pushed predicate.
+    "q1_pricing_summary" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+          sumCents(col("l_extendedprice")).as("sum_base_price_cents"),
+          sum(revUnits).as("sum_disc_price_e4"),
+          // charge = extprice*(1-disc)*(1+tax): 6 decimals → 10^-6 units.
+          // Long holds ~9.2e18; at 100 TB switch this column to decimal(38,6).
+          sum(revUnits * round((lit(1) + col("l_tax")) * 100).cast("long"))
+            .as("sum_charge_e6"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          round(sum(round(col("l_extendedprice") * 100).cast("long")) / count(lit(1)) / 100.0, 2)
+            .as("avg_price"),
+          round(avg(col("l_discount")), 2).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3-shape shipping priority: segment-filtered customer (broadcastable
+    // at test SF; at 100 TB AQE picks shuffled-hash) ⋈ orders ⋈ lineitem,
+    // top-10 revenue. Ends in TakeOrderedAndProject — no full sort.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q5-shape local-supplier volume: five-way join; region/nation/supplier
+    // broadcast (dims), fact-fact joins left to AQE. The c_nationkey =
+    // s_nationkey condition rides on the join, not a post-filter.
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val asia = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nat = table(s, dir, "nation")
+      val sup = table(s, dir, "supplier")
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(
+          table(s, dir, "lineitem").withColumnRenamed("l_orderkey", "lo_key"),
+          col("o_orderkey") === col("lo_key")
+        )
+        .join(
+          broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey")
+        )
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q10-shape returned items: per-customer lost revenue on returned
+    // lineitems, top 20. nation broadcast; the groupBy key includes the
+    // customer attributes so no second join after the agg.
+    "q10_returned_items" -> ((s, dir) => {
+      val nat = table(s, dir, "nation")
+      table(s, dir, "customer")
+        .join(
+          table(s, dir, "orders")
+            .filter(
+              col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1999-01-01").cast("timestamp")
+            ),
+          col("c_custkey") === col("o_custkey")
+        )
+        .join(
+          table(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Window function: top-3 orders per customer by price. One shuffle on
+    // the partition key, rank inside the window, no driver materialization.
+    "q_window_top_orders" -> ((s, dir) => {
+      val w = Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          rank().over(w).as("rnk")
+        )
+        .filter(col("rnk") <= 3)
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // Rollup: grouping-set aggregation over status × priority with
+    // subtotal + grand-total rows (Catalyst plans one Expand + hash agg).
+    "q_rollup_order_stats" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumCents(col("o_totalprice")).as("total_cents")
+        )
+        .orderBy(
+          col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first
+        )),
+
+    // Semi/anti in one pass: per-nation counts of customers with and
+    // without orders. The distinct custkey set is aggregated before the
+    // join (orders-side shrink), then left-joined; nation broadcast.
+    "q_semi_anti_customers" -> ((s, dir) => {
+      val withOrders =
+        table(s, dir, "orders").select(col("o_custkey")).distinct()
+      table(s, dir, "customer")
+        .join(withOrders, col("c_custkey") === col("o_custkey"), "left")
+        .join(
+          broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey")
+        )
+        .groupBy(col("n_name"))
+        .agg(
+          count(col("o_custkey")).as("n_with_orders"),
+          (count(lit(1)) - count(col("o_custkey"))).as("n_without_orders")
+        )
+        .orderBy(col("n_name"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         |  sum(${centsSql("l_extendedprice")}) AS sum_base_price_cents,
+         |  sum($revUnitsSql) AS sum_disc_price_e4,
+         |  sum($revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS sum_charge_e6,
+         |  round(avg(l_quantity), 2) AS avg_qty,
+         |  round(sum(${centsSql("l_extendedprice")}) / count(*) / 100.0, 2) AS avg_price,
+         |  round(avg(l_discount), 2) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, sum($revUnitsSql) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, sum($revUnitsSql) / 10000.0 AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, sum($revUnitsSql) / 10000.0 AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_rollup_order_stats" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  count(*) AS n_orders,
+         |  sum(${centsSql("o_totalprice")}) AS total_cents
+         |FROM orders
+         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_semi_anti_customers" ->
+      """SELECT n_name,
+        |  count(o_custkey) AS n_with_orders,
+        |  count(*) - count(o_custkey) AS n_without_orders
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+  )
+}
