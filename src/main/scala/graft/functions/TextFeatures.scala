@@ -1,0 +1,67 @@
+package graft.functions
+
+/** Portable text-feature primitives for the dedup / text-analysis tier.
+  *
+  * Everything here is expressed twice — as a Spark SQL fragment (codegen'd
+  * higher-order built-ins: `transform`/`aggregate`/`array_min`, no UDFs)
+  * and as a DuckDB SQL fragment (list comprehensions + `list_reduce`) —
+  * with IDENTICAL integer arithmetic, so the DuckDB oracle reproduces
+  * Spark's MinHash/SimHash results bit-for-bit. All hashing is a rolling
+  * polynomial char hash mod a prime: engine-neutral, overflow-free in
+  * 64-bit, and associative-friendly for partial aggregation.
+  *
+  * Scale: each primitive is a per-row projection (no shuffle); the ops
+  * that DO shuffle (band grouping, inverted-index joins) live in the
+  * query layer where the keys are explicit.
+  */
+object TextFeatures {
+
+  /** Char-hash modulus (prime). Hash values are < 2^30, so products with
+    * the largest MinHash multiplier (255) and band-key packing
+    * (h1 * P + h2 < 2^60) stay far from Long overflow.
+    */
+  val P: Long = 1000000007L
+
+  val NumHashes = 64
+  val NumBands = 32 // 32 bands x 2 rows: P(miss | jaccard 0.7) ~ 4e-10
+
+  /** Spark: rolling char hash of string expression `e` → BIGINT. */
+  def charHashSpark(e: String): String =
+    s"aggregate(transform(sequence(1, length($e)), i -> CAST(ascii(substring($e, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** DuckDB mirror of [[charHashSpark]]. */
+  def charHashDuck(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(unicode(($e)[i]) AS BIGINT) for i in range(1, len($e) + 1)]), (acc, x) -> (acc * 31 + x) % $P)"
+
+  /** Spark: word 3-gram shingles of an array-of-words column `ws`
+    * (short docs fall back to the whole text as one shingle).
+    */
+  def shinglesSpark(ws: String): String =
+    s"CASE WHEN size($ws) < 3 THEN array(array_join($ws, ' ')) ELSE transform(sequence(1, size($ws) - 2), i -> array_join(slice($ws, i, 3), ' ')) END"
+
+  /** DuckDB mirror of [[shinglesSpark]] (list slices are 1-based inclusive,
+    * `range` is end-exclusive — both give shingle starts 1..len-2).
+    */
+  def shinglesDuck(ws: String): String =
+    s"CASE WHEN len($ws) < 3 THEN [array_to_string($ws, ' ')] ELSE [array_to_string(($ws)[i:i+2], ' ') for i in range(1, len($ws) - 1)] END"
+
+  /** Spark: 64-hash MinHash signature over a BIGINT-array column `hs` of
+    * shingle hashes. h_i(x) = ((1+2i)·x + 17+101i) mod P, min per i.
+    */
+  def minhashSigSpark(hs: String): String =
+    s"transform(sequence(0, ${NumHashes - 1}), i -> array_min(transform($hs, h -> ((1 + 2*i) * h + (17 + 101*i)) % $P)))"
+
+  /** DuckDB mirror of [[minhashSigSpark]]. */
+  def minhashSigDuck(hs: String): String =
+    s"[list_min([((1 + 2*i) * h + (17 + 101*i)) % $P for h in $hs]) for i in range(0, $NumHashes)]"
+
+  /** Spark: 32-bit SimHash fingerprint over shingle-hash array `hs`:
+    * bit j = sign of Σ_tokens (±1 by bit j of the token hash).
+    */
+  def simhashSpark(hs: String): String =
+    s"aggregate(transform(sequence(0, 31), j -> CASE WHEN aggregate($hs, CAST(0 AS BIGINT), (acc, h) -> acc + (CAST(shiftright(h, j) AS BIGINT) % 2) * 2 - 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+
+  /** DuckDB mirror of [[simhashSpark]]. */
+  def simhashDuck(hs: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), [((h >> j) % 2) * 2 - 1 for h in $hs]), (a, b) -> a + b) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, 32)]), (a, b) -> a + b)"
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures._
+
+/** Deduplication suite over the `documents` table — the operators a
+  * large-scale training-data pipeline runs before anything else.
+  *
+  * The driver's documents are all-distinct, so each query first builds a
+  * deterministic corpus with planted duplicates (identical in Spark and
+  * the DuckDB oracle): exact copies of every 7th doc and tail-truncated
+  * near-copies of every 10th doc.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: hash groupBy on the text (one shuffle on the dedup key;
+  *    at scale, on xxhash64(text) to keep shuffle rows narrow).
+  *  - n-gram Jaccard: inverted-index candidate join (explode shingles →
+  *    self-join per shingle) with a document-frequency cap that drops
+  *    stop-shingles — the classic bound that keeps per-shingle groups
+  *    small; NEVER an all-pairs crossJoin.
+  *  - MinHash+LSH: 64 portable min-hashes → 32 bands × 2 rows → band-key
+  *    groupBy join → exact-Jaccard verification of the (few) candidates.
+  *    Verification makes the output the exact ≥-threshold pair set as long
+  *    as banding has no false negatives (P(miss | j≥0.7) ≈ 4e-10).
+  *  - SimHash: 32-bit fingerprints, 4×8-bit band join; by pigeonhole a
+  *    hamming-≤3 pair always agrees on ≥1 byte, so the band join is
+  *    EXACT for distance ≤ 3 — verification just computes the distance.
+  * All hashing is engine-portable integer arithmetic (TextFeatures), so
+  * the DuckDB oracle reproduces signatures bit-for-bit.
+  */
+object DedupQueries {
+  import Q._
+
+  private val JaccardT = "0.7"
+
+  /** Corpus with planted dups: originals ∪ exact copies (doc_id%7==0,
+    * +2000000) ∪ 2-word-truncated near-copies (doc_id%10==0, +1000000).
+    */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val exact = docs
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val near = docs
+      .filter(col("doc_id") % 10 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr(
+          "array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ')"
+        ).as("text")
+      )
+    docs.unionAll(exact).unionAll(near)
+  }
+
+  /** DuckDB mirror of [[corpus]]. */
+  val corpusCte: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         array_to_string(ws[1:greatest(len(ws) - 2, 1)], ' ') AS text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |  WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** doc_id + distinct shingle set (the shared feature frame). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("sh", expr(s"array_distinct(${shinglesSpark("ws")})"))
+      .select(col("doc_id"), col("sh"))
+
+  /** DuckDB mirror of [[shingleSets]] (appended to [[corpusCte]]). */
+  private val shingleCte: String =
+    s""", tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+       |, shs AS (SELECT doc_id, list_distinct(${shinglesDuck("ws")}) AS sh FROM tok)
+       |, ex AS (SELECT doc_id, unnest(sh) AS s FROM shs)
+       |, sz AS (SELECT doc_id, len(sh) AS n FROM shs)""".stripMargin
+
+  /** Exact-Jaccard verification of a candidate-pair frame (doc_a, doc_b):
+    * join back the full shingle sets, keep pairs ≥ threshold. Candidates
+    * are few, so the array intersect/union runs on a tiny frame.
+    */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand
+      .join(a, "doc_a")
+      .join(b, "doc_b")
+      .withColumn(
+        "jaccard",
+        round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
+          6
+        )
+      )
+      .filter(col("jaccard") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB: the exact ≥-threshold near-dup pair set (ground truth the
+    * LSH path must reproduce): inverted-index intersection counts —
+    * pairs at this threshold necessarily share a shingle.
+    */
+  private val exactPairsSql: String =
+    s"""$corpusCte
+       |$shingleCte
+       |, inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardT
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val queries: Map[String, Fn] = Map(
+    // Exact dedup, counts: one hash agg over the corpus.
+    "d_exact_dedup_counts" -> ((s, dir) =>
+      corpus(s, dir).agg(
+        count(lit(1)).as("rows_in"),
+        count_distinct(col("text")).as("rows_out"),
+        (count(lit(1)) - count_distinct(col("text"))).as("dedup_removed")
+      )),
+
+    // Exact dedup with a deterministic survivor (min doc_id per text):
+    // the duplicate groups, one row each. groupBy(text) = one shuffle on
+    // the dedup key; only group stats leave the shuffle.
+    "d_exact_dedup_groups" -> ((s, dir) =>
+      corpus(s, dir)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))),
+
+    // n-gram Jaccard near-dup: DF-capped inverted index → exact verify.
+    "d_ngram_jaccard_pairs" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
+      val keep = ex.groupBy("s").count().filter(col("count") <= 100).select("s")
+      val exk = ex.join(keep, "s") // stop-shingles dropped before the join
+      val cand = exk
+        .select(col("s"), col("doc_id").as("doc_a"))
+        .join(exk.select(col("s"), col("doc_id").as("doc_b")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      verifyJaccard(cand, sets)
+    }),
+
+    // MinHash + LSH banding near-dup: signatures → band join → verify.
+    "d_minhash_lsh_pairs" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val sigs = sets
+        .withColumn("hs", expr(s"transform(sh, t -> ${charHashSpark("t")})"))
+        .withColumn("sig", expr(minhashSigSpark("hs")))
+        .select(col("doc_id"), col("sig"))
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band, element_at(sig, 2*b+1) * $P + element_at(sig, 2*b+2) AS bkey))"
+          )
+        ).as("bk")
+      ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      val cand = bands
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(
+          bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+          Seq("band", "bkey")
+        )
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+      verifyJaccard(cand, sets)
+    }),
+
+    // SimHash near-dup: 32-bit fingerprints, 4-byte pigeonhole band join
+    // (exact for hamming ≤ 3), then the distance itself.
+    "d_simhash_pairs" -> ((s, dir) => {
+      val fps = shingleSets(s, dir)
+        .withColumn("hs", expr(s"transform(sh, t -> ${charHashSpark("t")})"))
+        .withColumn("fp", expr(simhashSpark("hs")))
+        .select(col("doc_id"), col("fp"))
+      val bands = fps.select(
+        col("doc_id"),
+        col("fp"),
+        explode(
+          expr("transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(fp, b * 8) AS BIGINT) % 256 AS bkey))")
+        ).as("bk")
+      ).select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      bands
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        .join(
+          bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          Seq("band", "bkey")
+        )
+        .filter(col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"),
+          col("doc_b"),
+          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int").as("hamming")
+        )
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup_counts" ->
+      s"""$corpusCte
+         |SELECT count(*) AS rows_in,
+         |       count(DISTINCT text) AS rows_out,
+         |       count(*) - count(DISTINCT text) AS dedup_removed
+         |FROM corpus""".stripMargin,
+    "d_exact_dedup_groups" ->
+      s"""$corpusCte
+         |SELECT min(doc_id) AS keeper, count(*) AS n_copies
+         |FROM corpus GROUP BY text HAVING count(*) > 1
+         |ORDER BY keeper""".stripMargin,
+    // DF-capped inverted index, mirrored exactly (cap applied to
+    // candidate generation, Jaccard from full sets).
+    "d_ngram_jaccard_pairs" ->
+      s"""$corpusCte
+         |$shingleCte
+         |, df AS (SELECT s, count(*) AS c FROM ex GROUP BY s)
+         |, exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s WHERE df.c <= 100)
+         |, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |           FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON doc_a = sa.doc_id
+         |JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardT
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The LSH path must reproduce the exact pair set (verification step
+    // + negligible banding miss probability at the threshold).
+    "d_minhash_lsh_pairs" -> exactPairsSql,
+    "d_simhash_pairs" ->
+      s"""$corpusCte
+         |$shingleCte
+         |, fps AS (SELECT doc_id, ${simhashDuck(s"[${charHashDuck("t")} for t in sh]")} AS fp FROM shs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search + embedding near-dup over the `embeddings` table
+  * (`Array[Float]`, 64-dim, unit-norm).
+  *
+  * Three tiers:
+  *  - brute-force cosine top-k: the exactness baseline — broadcast the
+  *    (few) query vectors, one pass over candidates, per-query top-k.
+  *  - IVF top-k: the scale path — k centroids (deterministic sample),
+  *    vectors assigned to nearest centroid (one broadcast join), queries
+  *    probe nprobe centroids, candidates restricted to probed cells. At
+  *    100 TB the assignment becomes the partition key → candidate
+  *    generation is a partition-pruned scan.
+  *  - cosine near-dup pairs: sign-LSH (random-projection hyperplanes)
+  *    bucket join → exact-cosine verification — never all-pairs.
+  *
+  * Portability: all float→double casts, sequential left-fold dot products
+  * and inline LCG-generated hyperplanes are pure integer/IEEE arithmetic,
+  * so the DuckDB oracle reproduces every cosine BIT-IDENTICALLY — ranking
+  * ties and threshold edges cannot diverge between engines.
+  */
+object EmbeddingQueries {
+  import Q._
+
+  /** Spark: sequential-fold dot product of two DOUBLE-array columns. */
+  private def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** DuckDB mirror of [[dotSpark]] (same element order ⇒ same double). */
+  private def dotDuck(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [($a)[i] * ($b)[i] for i in range(1, len($a) + 1)]), (x, y) -> x + y)"
+
+  /** Spark: 12-table sign-LSH bucket array. Table t hashes the vector to
+    * 4 sign bits of dot(v, plane(t,j)); plane coefficients come from an
+    * inline LCG (Numerical-Recipes constants) on (t, j, d) — identical
+    * integer arithmetic in DuckDB, no literal plane arrays shipped.
+    */
+  private def lshBucketsSpark(v: String): String =
+    s"""transform(sequence(0, 11), t -> aggregate(sequence(0, 3), CAST(0 AS BIGINT),
+       | (acc, j) -> acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+       |   (s, d) -> s + element_at($v, d + 1) * (((1664525 * (t*256 + j*64 + d) + 1013904223) % 4294967296) / 2147483648.0 - 1.0)) >= 0
+       |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB mirror of [[lshBucketsSpark]]. */
+  private def lshBucketsDuck(v: String): String =
+    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT),
+       | [CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   [($v)[d + 1] * (((1664525 * (t*256 + j*64 + d) + 1013904223) % 4294967296) / 2147483648.0 - 1.0) for d in range(0, 64)]),
+       |   (x, y) -> x + y) >= 0
+       |  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, 4)]),
+       | (x, y) -> x + y) for t in range(0, 12)]""".stripMargin.replaceAll("\n", " ")
+
+  /** vectors as DOUBLE arrays + squared norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
+      )
+      .withColumn("nrm", expr(dotSpark("v", "v")))
+
+  private val vecsCte =
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, ${dotDuck("v", "v")} AS nrm FROM e)""".stripMargin
+
+  /** Near-dup corpus: originals ∪ first-coordinate-perturbed copies of
+    * every 20th vector (planted pairs at cosine ≥ 0.97; natural max ~0.51).
+    */
+  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = table(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
+      )
+    val pert = base
+      .filter(col("vec_id") % 20 === 0)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        expr("concat(array(element_at(v, 1) + 0.25), slice(v, 2, 63))").as("v")
+      )
+    base.unionAll(pert).withColumn("nrm", expr(dotSpark("v", "v")))
+  }
+
+  private val nearCorpusCte =
+    s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, v FROM e
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, list_prepend(v[1] + 0.25, v[2:64]) AS v
+       |  FROM e WHERE vec_id % 20 = 0),
+       |n AS (SELECT vec_id, v, ${dotDuck("v", "v")} AS nrm FROM corpus)""".stripMargin
+
+  /** cosine between pre-normed frames aliased q/c (raw, unrounded). */
+  private val cosCol =
+    expr(s"${dotSpark("qv", "cv")} / (sqrt(qn) * sqrt(cn))")
+
+  val queries: Map[String, Fn] = Map(
+    // Brute-force cosine top-10 for queries vec_id < 10: broadcast the
+    // query side, single candidate pass, per-query ranking.
+    "e_bruteforce_topk" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val q = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = all
+        .select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF top-5, nprobe=2: centroids = deterministic sample (vec_id%50);
+    // assignment + probing are broadcast joins against the tiny centroid
+    // set; candidates = vectors in probed cells only.
+    "e_ivf_topk" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val cent = all
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      // assign every vector to its nearest centroid
+      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val asg = all
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      // queries probe their 2 nearest centroids
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+      val probes = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cid"))
+      // candidates = vectors assigned to a probed cell; exact re-rank
+      val qv = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      probes
+        .join(asg, "cid")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(
+          all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+          "neighbor_id"
+        )
+        .join(broadcast(qv), "query_id")
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Embedding-cosine near-dup: 12-table sign-LSH bucket join → exact
+    // verify ≥ 0.95. P(banding miss | cos ≥ 0.95) ≈ 2e-7 — the verified
+    // output equals the exact pair set (the oracle).
+    "e_cosine_neardup_pairs" -> ((s, dir) => {
+      val cor = nearCorpus(s, dir)
+      val bk = cor
+        .withColumn("bks", expr(lshBucketsSpark("v")))
+        .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
+      val cand = bk
+        .select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
+        .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+      val a = cor.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"))
+      val b = cor.select(col("vec_id").as("vec_b"), col("v").as("cv"), col("nrm").as("cn"))
+      cand
+        .join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= 0.95)
+        .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
+        .orderBy(col("vec_a"), col("vec_b"))
+    })
+  )
+
+  private def cosSql(qv: String, cv: String, qn: String, cn: String) =
+    s"${dotDuck(qv, cv)} / (sqrt($qn) * sqrt($cn))"
+
+  val oracle: Map[String, String] = Map(
+    "e_bruteforce_topk" ->
+      s"""$vecsCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "e_ivf_topk" ->
+      s"""$vecsCte,
+         |cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id % 50 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT x.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
+         |  FROM n x CROSS JOIN cent c) WHERE rn = 1),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT q.vec_id AS query_id, c.cid,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} DESC, c.cid) AS rn
+         |  FROM n q CROSS JOIN cent c WHERE q.vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN asg a ON p.cid = a.cid
+         |         WHERE a.vec_id <> p.query_id),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |       FROM cand JOIN n q ON q.vec_id = cand.query_id
+         |                 JOIN n c ON c.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Exact ground truth — the LSH+verify path must reproduce it.
+    "e_cosine_neardup_pairs" ->
+      s"""$nearCorpusCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       round(${cosSql("a.v", "b.v", "a.nrm", "b.nrm")}, 6) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.95
+         |ORDER BY vec_a, vec_b""".stripMargin
+  )
+}
