@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.etl.{Metrics, Normalize}
-import graft.queries.{DedupQueries, ParityQueries, StarQueries}
+import graft.queries.{DedupQueries, EmbeddingQueries, MediaQueries, ParityQueries, StarQueries, StreamQueries, TextQueries}
 import graft.sources.MockUserSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,10 +22,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ StarQueries.queries ++ DedupQueries.queries
+    ParityQueries.queries ++ StarQueries.queries ++ DedupQueries.queries ++
+      TextQueries.queries ++ EmbeddingQueries.queries ++
+      StreamQueries.queries ++ MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracle ++ StarQueries.oracle ++ DedupQueries.oracle
+    ParityQueries.oracle ++ StarQueries.oracle ++ DedupQueries.oracle ++
+      TextQueries.oracle ++ EmbeddingQueries.oracle ++
+      StreamQueries.oracle ++ MediaQueries.oracle
 }

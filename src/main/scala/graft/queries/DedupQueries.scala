@@ -92,16 +92,14 @@ object DedupQueries {
       .join(a, "doc_a")
       .join(b, "doc_b")
       .withColumn(
-        "jaccard",
-        round(
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) -
-              size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"),
-          6
-        )
+        "jac_raw",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double")
       )
-      .filter(col("jaccard") >= JaccardT)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // threshold on the RAW value (as the oracle does), round for output
+      .filter(col("jac_raw") >= JaccardT)
+      .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -117,11 +115,11 @@ object DedupQueries {
        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
-       |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+       |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
        |FROM inter
        |JOIN sz sa ON doc_a = sa.doc_id
        |JOIN sz sb ON doc_b = sb.doc_id
-       |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardT
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, Fn] = Map(
@@ -245,11 +243,11 @@ object DedupQueries {
          |  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+         |       round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
          |FROM inter
          |JOIN sz sa ON doc_a = sa.doc_id
          |JOIN sz sb ON doc_b = sb.doc_id
-         |WHERE i * 1.0 / (sa.n + sb.n - i) >= $JaccardT
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
     // The LSH path must reproduce the exact pair set (verification step
     // + negligible banding miss probability at the threshold).

@@ -34,25 +34,40 @@ object EmbeddingQueries {
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [($a)[i] * ($b)[i] for i in range(1, len($a) + 1)]), (x, y) -> x + y)"
 
-  /** Spark: 12-table sign-LSH bucket array. Table t hashes the vector to
-    * 4 sign bits of dot(v, plane(t,j)); plane coefficients come from an
-    * inline LCG (Numerical-Recipes constants) on (t, j, d) — identical
-    * integer arithmetic in DuckDB, no literal plane arrays shipped.
+  /** Sign-LSH hyperplanes: 12 tables × 4 bits × 64 dims of genuinely
+    * random coefficients from a fixed-seed PRNG, embedded as the SAME
+    * flat literal array in the Spark expression and the DuckDB oracle.
+    * (An earlier inline-LCG variant produced near-parallel planes — any
+    * affine map of consecutive seeds is an arithmetic ramp — and missed
+    * real pairs.) Scala's shortest-roundtrip Double.toString parses to
+    * identical bits in both engines.
+    */
+  private val NumTables = 12
+  private val BitsPerTable = 4
+  private lazy val planesFlat: IndexedSeq[Double] = {
+    val rnd = new scala.util.Random(424242L)
+    IndexedSeq.fill(NumTables * BitsPerTable * 64)(rnd.nextDouble() * 2 - 1)
+  }
+  private lazy val planesSparkLit = planesFlat.mkString("array(", ", ", ")")
+  private lazy val planesDuckLit = planesFlat.mkString("[", ", ", "]")
+
+  /** Spark: 12-table sign-LSH bucket array — table t gets 4 sign bits of
+    * dot(v, plane(t,j)); coefficient index = (t*4+j)*64 + d.
     */
   private def lshBucketsSpark(v: String): String =
-    s"""transform(sequence(0, 11), t -> aggregate(sequence(0, 3), CAST(0 AS BIGINT),
+    s"""transform(sequence(0, ${NumTables - 1}), t -> aggregate(sequence(0, ${BitsPerTable - 1}), CAST(0 AS BIGINT),
        | (acc, j) -> acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-       |   (s, d) -> s + element_at($v, d + 1) * (((1664525 * (t*256 + j*64 + d) + 1013904223) % 4294967296) / 2147483648.0 - 1.0)) >= 0
+       |   (s, d) -> s + element_at($v, d + 1) * element_at($planesSparkLit, (t*$BitsPerTable + j)*64 + d + 1)) >= 0.0D
        |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin.replaceAll("\n", " ")
 
-  /** DuckDB mirror of [[lshBucketsSpark]]. */
+  /** DuckDB mirror of [[lshBucketsSpark]] (same literals, same fold order). */
   private def lshBucketsDuck(v: String): String =
     s"""[list_reduce(list_prepend(CAST(0 AS BIGINT),
        | [CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |   [($v)[d + 1] * (((1664525 * (t*256 + j*64 + d) + 1013904223) % 4294967296) / 2147483648.0 - 1.0) for d in range(0, 64)]),
+       |   [($v)[d + 1] * ($planesDuckLit)[(t*$BitsPerTable + j)*64 + d + 1] for d in range(0, 64)]),
        |   (x, y) -> x + y) >= 0
-       |  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, 4)]),
-       | (x, y) -> x + y) for t in range(0, 12)]""".stripMargin.replaceAll("\n", " ")
+       |  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, $BitsPerTable)]),
+       | (x, y) -> x + y) for t in range(0, $NumTables)]""".stripMargin.replaceAll("\n", " ")
 
   /** vectors as DOUBLE arrays + squared norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,55 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures.charHashDuck
+import graft.multimodal.Media
+
+/** Driver registrations for the multimodal tier. The payloads are ASCII
+  * text bytes (UTF-8 byte == codepoint for this corpus), so the DuckDB
+  * oracle can mirror the byte-level computations exactly with the
+  * portable char-hash / codepoint comprehensions.
+  */
+object MediaQueries {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // mapPartitions-batched decode + feature extraction over binary blobs.
+    "m_media_features" -> ((s, dir) =>
+      Media
+        .extractFeatures(Media.blobs(s, dir))
+        .toDF()
+        .orderBy("media_id")),
+
+    // Metadata-only frame-sample plan (never touches the payload bytes):
+    // output the number of sampled frames per video blob.
+    "m_frame_sample_plan" -> ((s, dir) =>
+      Media
+        .frameSamplePlan(Media.blobs(s, dir))
+        .select(col("media_id"), size(col("frame_indices")).as("n_frames"))
+        .orderBy("media_id"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "m_media_features" ->
+      s"""WITH t AS (SELECT doc_id, text,
+         |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
+         |  FROM documents),
+         |f AS (SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  length(text) AS n_bytes,
+         |  ${charHashDuck("text")} AS checksum,
+         |  length(text) AS feature_dim,
+         |  [len(list_filter(cps, c -> c // 16 = b)) for b in range(0, 16)] AS bins
+         |  FROM t)
+         |SELECT media_id, modality, CAST(n_bytes AS INT) AS n_bytes, checksum,
+         |  CAST(feature_dim AS INT) AS feature_dim,
+         |  CAST(list_position(bins, list_aggregate(bins, 'max')) - 1 AS INT) AS top_bin
+         |FROM f ORDER BY media_id""".stripMargin,
+    "m_frame_sample_plan" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((CAST(floor((2000 + (doc_id % 8000)) / (1000 / 24)) AS INT) // 10) + 1 AS INT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
+  )
+}

@@ -12,6 +12,17 @@ object Q {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
+    * refuses by default; read nanos as Long and truncate to microseconds
+    * with integer division (`div` — double division would lose precision
+    * at ~1.7e18 ns). DuckDB's ns→us cast truncates identically.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Exact money arithmetic, portable across engines.
     *
     * The testdata money/rate columns are doubles with ≤2 decimal digits.

@@ -199,7 +199,7 @@ object StarQueries {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      s"""SELECT l_orderkey, o_orderdate, sum($revUnitsSql) / 10000.0 AS revenue
+      s"""SELECT l_orderkey, o_orderdate, CAST(sum($revUnitsSql) AS DOUBLE) / 10000.0 AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -209,7 +209,7 @@ object StarQueries {
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier_volume" ->
-      s"""SELECT n_name, sum($revUnitsSql) / 10000.0 AS revenue
+      s"""SELECT n_name, CAST(sum($revUnitsSql) AS DOUBLE) / 10000.0 AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey
@@ -220,7 +220,7 @@ object StarQueries {
          |GROUP BY n_name
          |ORDER BY revenue DESC, n_name""".stripMargin,
     "q10_returned_items" ->
-      s"""SELECT c_custkey, c_name, n_name, sum($revUnitsSql) / 10000.0 AS revenue
+      s"""SELECT c_custkey, c_name, n_name, CAST(sum($revUnitsSql) AS DOUBLE) / 10000.0 AS revenue
          |FROM customer
          |JOIN orders ON c_custkey = o_custkey
          |JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventPipeline
+
+/** Batch registrations of the streaming-tier operators over `events`
+  * (SURVEY.md §2.10): the same transforms run under `readStream` in
+  * `EventPipeline`; here they run in batch so the DuckDB oracle can check
+  * them (streaming and batch share one logical plan by construction —
+  * `StreamingSpec` asserts the replayed-stream result equals these).
+  *
+  * Money/value sums are integer cents (exact, partial-agg friendly);
+  * window starts are epoch-aligned tumbling buckets ⇔ DuckDB
+  * `time_bucket`; session boundaries are strict-`<gap`-merge, mirrored by
+  * a gaps-and-islands window in SQL.
+  */
+object StreamQueries {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // Tumbling 10-min windows × event_type: count + exact value cents.
+    "s_window_counts" -> ((s, dir) =>
+      EventPipeline
+        .windowedCountsCents(events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    // Per-user 30-min-gap sessionization (session_window).
+    "s_sessionize" -> ((s, dir) =>
+      EventPipeline
+        .sessionize(events(s, dir))
+        .orderBy("user_id", "session_start")),
+
+    // JSON property extraction + aggregation: parse the props JSON column
+    // (schema-on-read at scale: from_json with explicit schema, pushed
+    // into one projection) and profile k per event type.
+    "s_event_json_props" -> ((s, dir) =>
+      events(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k")
+        )
+        .orderBy("event_type"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s_window_counts" ->
+      """SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+        |  time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) + INTERVAL '10 minutes' AS window_end,
+        |  event_type,
+        |  count(*) AS n_events,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "s_sessionize" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+        |      FROM ev),
+        |g AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL '30 minutes' AS session_end,
+        |       count(*) AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "s_event_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

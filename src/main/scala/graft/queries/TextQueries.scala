@@ -44,16 +44,16 @@ object TextQueries {
         .withColumn("ws", split(col("text"), " "))
         .select(
           col("doc_id"),
-          expr(s"round(size(filter(ws, t -> array_contains($stopArr, t))) * 1.0 / size(ws), 6)")
+          expr(s"round(CAST(size(filter(ws, t -> array_contains($stopArr, t))) AS DOUBLE) / size(ws), 6)")
             .as("stopword_ratio"),
-          expr("round(size(array_distinct(ws)) * 1.0 / size(ws), 6)")
+          expr("round(CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws), 6)")
             .as("distinct_ratio"),
-          expr("round((length(text) - size(ws) + 1) * 1.0 / size(ws), 6)")
+          expr("round(CAST(length(text) - size(ws) + 1 AS DOUBLE) / size(ws), 6)")
             .as("mean_word_len"),
           expr(
-            s"""round(CASE WHEN size(ws) >= 20 THEN 0.4 ELSE size(ws) * 0.02 END
-               | + size(array_distinct(ws)) * 0.3 / size(ws)
-               | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3 ELSE 0.0 END, 6)""".stripMargin
+            s"""round(CASE WHEN size(ws) >= 20 THEN 0.4D ELSE size(ws) * 0.02D END
+               | + size(array_distinct(ws)) * 0.3D / size(ws)
+               | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3D ELSE 0.0D END, 6)""".stripMargin
           ).as("quality")
         )
         .orderBy("doc_id")),
@@ -114,12 +114,12 @@ object TextQueries {
     "t_quality_scores" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
          |SELECT doc_id,
-         |  round(len(list_filter(ws, t -> list_contains($stopList, t))) * 1.0 / len(ws), 6) AS stopword_ratio,
-         |  round(len(list_distinct(ws)) * 1.0 / len(ws), 6) AS distinct_ratio,
-         |  round((length(text) - len(ws) + 1) * 1.0 / len(ws), 6) AS mean_word_len,
-         |  round(CASE WHEN len(ws) >= 20 THEN 0.4 ELSE len(ws) * 0.02 END
-         |    + len(list_distinct(ws)) * 0.3 / len(ws)
-         |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN 0.3 ELSE 0.0 END, 6) AS quality
+         |  round(CAST(len(list_filter(ws, t -> list_contains($stopList, t))) AS DOUBLE) / len(ws), 6) AS stopword_ratio,
+         |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
+         |  round(CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws), 6) AS mean_word_len,
+         |  round(CASE WHEN len(ws) >= 20 THEN CAST(0.4 AS DOUBLE) ELSE len(ws) * CAST(0.02 AS DOUBLE) END
+         |    + len(list_distinct(ws)) * CAST(0.3 AS DOUBLE) / len(ws)
+         |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
     "t_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming tier over the `events` table (SURVEY.md §2.10 — the reference
+  * has no real streaming; its "Live Log" is a cosmetic animation. This is
+  * the Structured-Streaming extension the scale goal motivates).
+  *
+  * Design: each operator is a TRANSFORM over a DataFrame that works
+  * identically on a batch frame and a `readStream` frame — the standard
+  * Structured-Streaming pattern (the engine plans the incremental version
+  * of the same logical query). The registered driver queries apply them in
+  * batch mode (DuckDB-oracle-checkable); `StreamingSpec` replays the same
+  * parquet through `readStream` + watermark and asserts the streaming
+  * result converges to the batch result.
+  *
+  * Scale: windowed counts shuffle once on (window, event_type);
+  * sessionization shuffles once on user_id; watermarks bound state size —
+  * at 100 TB/day the state store holds only open windows per key.
+  */
+object EventPipeline {
+
+  /** Tumbling-window counts per event type (10-minute windows), value
+    * summed in exact integer cents (order-independent, partial-agg safe).
+    */
+  def windowedCountsCents(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_value_cents")
+      )
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value_cents")
+      )
+
+  /** Same, with a watermark — the streaming entry point. */
+  def windowedCountsStream(events: DataFrame): DataFrame =
+    windowedCountsCents(events.withWatermark("ts", "30 minutes"))
+
+  /** Per-user session aggregation with a 30-minute inactivity gap:
+    * session = maximal run of events where each is ≤ gap after the
+    * previous; window end = last event + gap (session_window semantics).
+    */
+  def sessionize(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events")
+      )
+
+  def sessionizeStream(events: DataFrame): DataFrame =
+    sessionize(events.withWatermark("ts", "30 minutes"))
+
+  /** Replay a static parquet file as a file-source stream (test harness):
+    * copies the file into a temp dir (the file streaming source lists
+    * directories) and reads it with the batch-inferred schema.
+    */
+  def replayAsStream(spark: SparkSession, parquetFile: String): DataFrame = {
+    // events ships TIMESTAMP(NANOS): read nanos as Long, truncate to µs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(parquetFile).schema
+    val dir = java.nio.file.Files.createTempDirectory("events-replay")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(parquetFile),
+      dir.resolve("part-0.parquet")
+    )
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}

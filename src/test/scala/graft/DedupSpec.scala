@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.DedupQueries
+
+/** Dedup-tier invariants on sf0.001 (500 docs + planted duplicates). */
+class DedupSpec extends SparkSpecBase {
+
+  test("exact dedup counts: planted exact copies are removed") {
+    val row = DedupQueries
+      .queries("d_exact_dedup_counts")(spark, Sf0001)
+      .collect()(0)
+    val in = row.getAs[Long]("rows_in")
+    val out = row.getAs[Long]("rows_out")
+    val removed = row.getAs[Long]("dedup_removed")
+    assert(in == out + removed)
+    // 72 planted exact copies, plus any accidental text collisions from
+    // the truncated near-copies (1 at this SF)
+    assert(removed >= 72)
+  }
+
+  test("minhash LSH finds every planted high-jaccard near-dup pair") {
+    val pairs = DedupQueries
+      .queries("d_minhash_lsh_pairs")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    // exact copies (a, a+2000000) are jaccard 1.0 — must all be found
+    val exactPairs = (0L until 500L by 7).map(i => (i, i + 2000000L)).toSet
+    assert(exactPairs.subsetOf(pairs))
+  }
+
+  test("minhash LSH output equals the exhaustive >=T pair set") {
+    // the contract the DuckDB oracle checks: LSH+verify == exact
+    val lsh = DedupQueries
+      .queries("d_minhash_lsh_pairs")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ngram = DedupQueries
+      .queries("d_ngram_jaccard_pairs")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // the DF-capped inverted index is exhaustive at this scale, so the
+    // two independent candidate generators must converge after verify
+    assert(lsh == ngram)
+  }
+
+  test("simhash near-dup pairs all have hamming <= 3 and include planted copies") {
+    val rows = DedupQueries
+      .queries("d_simhash_pairs")(spark, Sf0001)
+      .collect()
+    assert(rows.forall(_.getAs[Int]("hamming") <= 3))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = (0L until 500L by 7).map(i => (i, i + 2000000L)).toSet
+    assert(exactPairs.subsetOf(pairs)) // identical docs: hamming 0
+  }
+}

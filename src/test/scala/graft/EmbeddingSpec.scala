@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.EmbeddingQueries
+
+/** Similarity-search tier invariants on sf0.001 (500 vectors, 64-dim). */
+class EmbeddingSpec extends SparkSpecBase {
+
+  test("brute-force top-k: ranks are 1..10, cosine non-increasing per query") {
+    val rows = EmbeddingQueries
+      .queries("e_bruteforce_topk")(spark, Sf0001)
+      .collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val cosines = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF top-k is a subset of the probed cells and well-ranked") {
+    val rows = EmbeddingQueries
+      .queries("e_ivf_topk")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length))
+    }
+  }
+
+  test("cosine near-dup finds every planted perturbed pair") {
+    val pairs = EmbeddingQueries
+      .queries("e_cosine_neardup_pairs")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .toSet
+    val planted = (0L until 500L by 20).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs))
+    // and nothing below the threshold sneaks in
+    val cosines = EmbeddingQueries
+      .queries("e_cosine_neardup_pairs")(spark, Sf0001)
+      .collect()
+      .map(_.getAs[Double]("cosine"))
+    assert(cosines.forall(_ >= 0.95))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventPipeline
+
+/** Structured-Streaming tier: the windowed aggregation replayed as a file
+  * stream with a watermark must converge to the batch result over the
+  * same parquet (stream/batch unification is the design contract of
+  * EventPipeline's transforms).
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  test("streaming windowed counts converge to the batch result") {
+    val file = s"$Sf0001/events.parquet"
+    val batch = EventPipeline
+      .windowedCountsCents(graft.queries.Q.events(spark, Sf0001))
+      .orderBy("window_start", "event_type")
+      .collect()
+
+    val stream = EventPipeline.windowedCountsStream(
+      EventPipeline.replayAsStream(spark, file)
+    )
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("win_counts")
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions are disjoint per user and cover all events") {
+    val events = graft.queries.Q.events(spark, Sf0001)
+    val sessions = EventPipeline.sessionize(events).cache()
+    val nEvents = events.count()
+    assert(sessions.agg(sum("n_events")).collect()(0).getLong(0) == nEvents)
+    // no overlapping sessions within a user
+    val overlaps = sessions
+      .as("a")
+      .join(
+        sessions.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_start") < col("b.session_start") &&
+          col("b.session_start") < col("a.session_end")
+      )
+      .count()
+    assert(overlaps == 0)
+  }
+}
