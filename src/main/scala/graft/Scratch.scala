@@ -12,6 +12,14 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("explain")) {
+      args.drop(1).foreach { name =>
+        println(s"===== $name =====")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq("p1_p2_normalize", "a1_a4_mock_metrics")
     for (name <- names; rep <- 1 to 3) {
       val t0 = System.nanoTime()

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native sketch expressions over a BIGINT-array of token hashes.
+  *
+  * The higher-order-builtin formulations (`transform`/`aggregate`
+  * lambdas, see TextFeatures) are semantically identical but evaluate
+  * one interpreted lambda call per element per hash function — ~64×n
+  * closure invocations per row for MinHash. These expressions run the
+  * same arithmetic as a single fused loop under whole-stage codegen:
+  * no lambdas, no intermediate arrays, no extra shuffle. Specs prove
+  * bit-equality with the builtin forms (which the DuckDB oracle mirrors).
+  */
+
+/** 64-hash MinHash signature: sig_i = min over tokens of
+  * ((1+2i)·h + 17+101i) mod P — TextFeatures.minhashSigSpark semantics.
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(TextFeatures.NumHashes)(Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val h = arr.getLong(k)
+      var i = 0
+      while (i < TextFeatures.NumHashes) {
+        val v = ((1 + 2 * i) * h + (17 + 101 * i)) % TextFeatures.P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => {
+        val sig = ctx.freshName("sig")
+        val k = ctx.freshName("k")
+        val i = ctx.freshName("i")
+        val h = ctx.freshName("h")
+        val v = ctx.freshName("v")
+        val nh = TextFeatures.NumHashes
+        val p = TextFeatures.P
+        s"""
+           |if ($c.numElements() == 0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  long[] $sig = new long[$nh];
+           |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+           |  for (int $k = 0; $k < $c.numElements(); $k++) {
+           |    long $h = $c.getLong($k);
+           |    for (int $i = 0; $i < $nh; $i++) {
+           |      long $v = ((1L + 2L*$i) * $h + (17L + 101L*$i)) % ${p}L;
+           |      if ($v < $sig[$i]) $sig[$i] = $v;
+           |    }
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+           |}
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 32-bit SimHash fingerprint: bit j = sign of Σ_tokens (±1 by bit j of
+  * the token hash) — TextFeatures.simhashSpark semantics.
+  */
+case class SimHash32(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](32)
+    var k = 0
+    while (k < arr.numElements()) {
+      val h = arr.getLong(k)
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      k += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      c => {
+        val counts = ctx.freshName("counts")
+        val k = ctx.freshName("k")
+        val j = ctx.freshName("j")
+        val h = ctx.freshName("h")
+        val fp = ctx.freshName("fp")
+        s"""
+           |int[] $counts = new int[32];
+           |for (int $k = 0; $k < $c.numElements(); $k++) {
+           |  long $h = $c.getLong($k);
+           |  for (int $j = 0; $j < 32; $j++) {
+           |    if ((($h >> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+           |  }
+           |}
+           |long $fp = 0L;
+           |for (int $j = 0; $j < 32; $j++) {
+           |  if ($counts[$j] > 0) $fp |= (1L << $j);
+           |}
+           |${ev.value} = $fp;
+         """.stripMargin
+      }
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash32"
+}
+
+object SketchExpressions {
+
+  /** Idempotent registration of all native text/sketch expressions. */
+  def register(spark: SparkSession): Unit = {
+    CharRollingHash.register(spark)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head)
+    )
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children.head)
+    )
+  }
+}

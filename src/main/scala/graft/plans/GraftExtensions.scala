@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CharRollingHash
+import graft.functions.{CharRollingHash, MinHashSig, SimHash32}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` registers the
@@ -18,6 +18,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("char_rolling_hash"),
         new ExpressionInfo(classOf[CharRollingHash].getName, "char_rolling_hash"),
         (children: Seq[Expression]) => CharRollingHash(children.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_sig"),
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (children: Seq[Expression]) => MinHashSig(children.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash32"),
+        new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+        (children: Seq[Expression]) => SimHash32(children.head)
       )
     )
   }

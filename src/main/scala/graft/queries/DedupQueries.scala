@@ -160,9 +160,10 @@ object DedupQueries {
     // MinHash + LSH banding near-dup: signatures → band join → verify.
     "d_minhash_lsh_pairs" -> ((s, dir) => {
       val sets = shingleSets(s, dir)
+      graft.functions.SketchExpressions.register(s)
       val sigs = sets
-        .withColumn("hs", expr(s"transform(sh, t -> ${charHashSpark("t")})"))
-        .withColumn("sig", expr(minhashSigSpark("hs")))
+        .withColumn("hs", expr("transform(sh, t -> char_rolling_hash(t))"))
+        .withColumn("sig", expr("minhash_sig(hs)"))
         .select(col("doc_id"), col("sig"))
       val bands = sigs.select(
         col("doc_id"),
@@ -187,9 +188,10 @@ object DedupQueries {
     // SimHash near-dup: 32-bit fingerprints, 4-byte pigeonhole band join
     // (exact for hamming ≤ 3), then the distance itself.
     "d_simhash_pairs" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
       val fps = shingleSets(s, dir)
-        .withColumn("hs", expr(s"transform(sh, t -> ${charHashSpark("t")})"))
-        .withColumn("fp", expr(simhashSpark("hs")))
+        .withColumn("hs", expr("transform(sh, t -> char_rolling_hash(t))"))
+        .withColumn("fp", expr("simhash32(hs)"))
         .select(col("doc_id"), col("fp"))
       val bands = fps.select(
         col("doc_id"),

@@ -35,39 +35,47 @@ object EmbeddingQueries {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [($a)[i] * ($b)[i] for i in range(1, len($a) + 1)]), (x, y) -> x + y)"
 
   /** Sign-LSH hyperplanes: 12 tables × 4 bits × 64 dims of genuinely
-    * random coefficients from a fixed-seed PRNG, embedded as the SAME
-    * flat literal array in the Spark expression and the DuckDB oracle.
-    * (An earlier inline-LCG variant produced near-parallel planes — any
-    * affine map of consecutive seeds is an arithmetic ramp — and missed
-    * real pairs.) Scala's shortest-roundtrip Double.toString parses to
-    * identical bits in both engines.
+    * random coefficients from a fixed-seed PRNG. (An earlier inline-LCG
+    * variant produced near-parallel planes — any affine map of
+    * consecutive seeds is an arithmetic ramp — and missed real pairs.)
+    * The planes travel as a 48-row broadcast DataFrame, not as literals:
+    * a 3072-literal expression tree costs seconds of analysis/codegen
+    * per run and would be re-shipped inside every task's plan at scale.
     */
   private val NumTables = 12
   private val BitsPerTable = 4
-  private lazy val planesFlat: IndexedSeq[Double] = {
+  private[queries] lazy val planesFlat: IndexedSeq[Double] = {
     val rnd = new scala.util.Random(424242L)
     IndexedSeq.fill(NumTables * BitsPerTable * 64)(rnd.nextDouble() * 2 - 1)
   }
-  private lazy val planesSparkLit = planesFlat.mkString("array(", ", ", ")")
-  private lazy val planesDuckLit = planesFlat.mkString("[", ", ", "]")
 
-  /** Spark: 12-table sign-LSH bucket array — table t gets 4 sign bits of
-    * dot(v, plane(t,j)); coefficient index = (t*4+j)*64 + d.
+  /** (vec_id, t, bucket) — one row per vector per hash table: broadcast
+    * plane join → per-(vector, table) sign-bit assembly. One narrow
+    * groupBy on (vec_id, t); no giant literals in the plan.
     */
-  private def lshBucketsSpark(v: String): String =
-    s"""transform(sequence(0, ${NumTables - 1}), t -> aggregate(sequence(0, ${BitsPerTable - 1}), CAST(0 AS BIGINT),
-       | (acc, j) -> acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-       |   (s, d) -> s + element_at($v, d + 1) * element_at($planesSparkLit, (t*$BitsPerTable + j)*64 + d + 1)) >= 0.0D
-       |  THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END))""".stripMargin.replaceAll("\n", " ")
-
-  /** DuckDB mirror of [[lshBucketsSpark]] (same literals, same fold order). */
-  private def lshBucketsDuck(v: String): String =
-    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT),
-       | [CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |   [($v)[d + 1] * ($planesDuckLit)[(t*$BitsPerTable + j)*64 + d + 1] for d in range(0, 64)]),
-       |   (x, y) -> x + y) >= 0
-       |  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END for j in range(0, $BitsPerTable)]),
-       | (x, y) -> x + y) for t in range(0, $NumTables)]""".stripMargin.replaceAll("\n", " ")
+  private def lshBuckets(cor: DataFrame): DataFrame = {
+    val session = cor.sparkSession
+    import session.implicits._
+    val planes = planesFlat
+      .grouped(64)
+      .zipWithIndex
+      .map { case (cs, p) => (p / BitsPerTable, p % BitsPerTable, cs.toArray) }
+      .toSeq
+      .toDF("t", "j", "coeffs")
+    cor
+      .select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(planes))
+      .select(
+        col("vec_id"),
+        col("t"),
+        when(
+          expr(dotSpark("v", "coeffs")) >= 0,
+          expr("shiftleft(CAST(1 AS BIGINT), j)")
+        ).otherwise(lit(0L)).as("bit")
+      )
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(col("bit")).as("bucket"))
+  }
 
   /** vectors as DOUBLE arrays + squared norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
@@ -186,9 +194,7 @@ object EmbeddingQueries {
     // output equals the exact pair set (the oracle).
     "e_cosine_neardup_pairs" -> ((s, dir) => {
       val cor = nearCorpus(s, dir)
-      val bk = cor
-        .withColumn("bks", expr(lshBucketsSpark("v")))
-        .select(col("vec_id"), posexplode(col("bks")).as(Seq("t", "bucket")))
+      val bk = lshBuckets(cor)
       val cand = bk
         .select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
         .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))

@@ -82,11 +82,14 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // Document fingerprinting: rolling polynomial hash of the whole text
-    // (portable across engines), plus collision census by fingerprint.
-    "t_fingerprints" -> ((s, dir) =>
+    // via the native codegen expression (CharRollingHashSpec proves it
+    // bit-equal to the higher-order-builtin formulation the oracle mirrors).
+    "t_fingerprints" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
       table(s, dir, "documents")
-        .select(col("doc_id"), expr(charHashSpark("text")).as("fingerprint"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("char_rolling_hash(text)").as("fingerprint"))
+        .orderBy("doc_id")
+    }),
 
     // Corpus profile: per (lang, source-domain-class) doc counts + char
     // stats — the groupBy profiling pass a curation pipeline runs first.
