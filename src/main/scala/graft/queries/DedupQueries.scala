@@ -35,6 +35,16 @@ object DedupQueries {
 
   private val JaccardT = "0.7"
 
+  /** DF cap for the inverted-index candidate join: shingles appearing in
+    * more docs than this are stop-shingles and generate no candidates
+    * (a shingle at df d yields d·(d-1)/2 pair rows — the cap bounds the
+    * blowup). A true ≥0.7-Jaccard pair shares dozens of doc-specific
+    * shingles, so dropping common ones costs no recall in practice (the
+    * oracle mirrors the cap; the MinHash query's exact-set oracle
+    * cross-checks overall recall).
+    */
+  private val MaxDF = 10
+
   /** Corpus with planted dups: originals ∪ exact copies (doc_id%7==0,
     * +2000000) ∪ 2-word-truncated near-copies (doc_id%10==0, +1000000).
     */
@@ -74,28 +84,43 @@ object DedupQueries {
       .withColumn("sh", expr(s"array_distinct(${shinglesSpark("ws")})"))
       .select(col("doc_id"), col("sh"))
 
-  /** DuckDB mirror of [[shingleSets]] (appended to [[corpusCte]]). */
+  /** doc_id + distinct HASHED shingle set: Jaccard arithmetic runs on
+    * 8-byte longs instead of ~20-char strings — lighter shuffles, cheaper
+    * intersections. Distinct-ed AFTER hashing so any hash collision gives
+    * identical set semantics in Spark and the (mirrored) oracle.
+    */
+  private def hashedSets(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
+    shingleSets(s, dir)
+      .withColumn("hs", expr("array_distinct(transform(sh, t -> char_rolling_hash(t)))"))
+      .select(col("doc_id"), col("hs"))
+  }
+
+  /** DuckDB mirror of [[shingleSets]]/[[hashedSets]] (appended to
+    * [[corpusCte]]); `ex`/`sz` operate on the hashed sets.
+    */
   private val shingleCte: String =
     s""", tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
        |, shs AS (SELECT doc_id, list_distinct(${shinglesDuck("ws")}) AS sh FROM tok)
-       |, ex AS (SELECT doc_id, unnest(sh) AS s FROM shs)
-       |, sz AS (SELECT doc_id, len(sh) AS n FROM shs)""".stripMargin
+       |, hsl AS (SELECT doc_id, list_distinct([${charHashDuck("t")} for t in sh]) AS hs FROM shs)
+       |, ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl)
+       |, sz AS (SELECT doc_id, len(hs) AS n FROM hsl)""".stripMargin
 
   /** Exact-Jaccard verification of a candidate-pair frame (doc_a, doc_b):
-    * join back the full shingle sets, keep pairs ≥ threshold. Candidates
+    * join back the hashed shingle sets, keep pairs ≥ threshold. Candidates
     * are few, so the array intersect/union runs on a tiny frame.
     */
   private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand
       .join(a, "doc_a")
       .join(b, "doc_b")
       .withColumn(
         "jac_raw",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double")
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) -
+            size(array_intersect(col("hs_a"), col("hs_b")))).cast("double")
       )
       // threshold on the RAW value (as the oracle does), round for output
       .filter(col("jac_raw") >= JaccardT)
@@ -144,9 +169,9 @@ object DedupQueries {
 
     // n-gram Jaccard near-dup: DF-capped inverted index → exact verify.
     "d_ngram_jaccard_pairs" -> ((s, dir) => {
-      val sets = shingleSets(s, dir)
-      val ex = sets.select(col("doc_id"), explode(col("sh")).as("s"))
-      val keep = ex.groupBy("s").count().filter(col("count") <= 100).select("s")
+      val sets = hashedSets(s, dir)
+      val ex = sets.select(col("doc_id"), explode(col("hs")).as("s"))
+      val keep = ex.groupBy("s").count().filter(col("count") <= MaxDF).select("s")
       val exk = ex.join(keep, "s") // stop-shingles dropped before the join
       val cand = exk
         .select(col("s"), col("doc_id").as("doc_a"))
@@ -159,10 +184,8 @@ object DedupQueries {
 
     // MinHash + LSH banding near-dup: signatures → band join → verify.
     "d_minhash_lsh_pairs" -> ((s, dir) => {
-      val sets = shingleSets(s, dir)
-      graft.functions.SketchExpressions.register(s)
+      val sets = hashedSets(s, dir)
       val sigs = sets
-        .withColumn("hs", expr("transform(sh, t -> char_rolling_hash(t))"))
         .withColumn("sig", expr("minhash_sig(hs)"))
         .select(col("doc_id"), col("sig"))
       val bands = sigs.select(
@@ -236,7 +259,7 @@ object DedupQueries {
       s"""$corpusCte
          |$shingleCte
          |, df AS (SELECT s, count(*) AS c FROM ex GROUP BY s)
-         |, exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s WHERE df.c <= 100)
+         |, exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s WHERE df.c <= 10)
          |, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |           FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id)
          |, inter AS (

@@ -148,15 +148,16 @@ object EmbeddingQueries {
       val cent = all
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      // assign every vector to its nearest centroid
-      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      // assign every vector to its nearest centroid — single-pass argmax
+      // (max over (cos, -cid) structs == ORDER BY cos DESC, cid LIMIT 1)
+      // instead of a window sort over the whole corpus
       val asg = all
         .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
         .crossJoin(broadcast(cent))
         .withColumn("cos", cosCol)
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m"))
+        .select(col("vec_id"), (-col("m.negcid")).as("cid"))
       // queries probe their 2 nearest centroids
       val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
       val probes = all
