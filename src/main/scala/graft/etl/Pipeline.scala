@@ -33,6 +33,49 @@ object Pipeline {
       durationSec: Double
   )
 
+  /** K3 — the degraded result the reference's SSR path returns when the
+    * whole pipeline throws (pages/index.js:293-311): zeroed metrics, empty
+    * user set, error surfaced as a log line. Never throws.
+    */
+  def degraded(spark: SparkSession, error: Throwable): RunResult = {
+    import org.apache.spark.sql.functions._
+    val zero = spark
+      .range(1)
+      .select(
+        lit(0L).as("rows_in"),
+        lit(0L).as("rows_out"),
+        lit(0L).as("dedup_removed"),
+        lit(0L).as("countries"),
+        lit(0L).as("uniqueCities"),
+        lit(0L).as("totalUsers"),
+        lit(0.0).as("avgRegistrationYears"),
+        lit("N/A").as("lastUser")
+      )
+      .collect()(0)
+    val empty = spark
+      .createDataFrame(new java.util.ArrayList[Row](), graft.model.Schemas.user)
+    RunResult(
+      empty,
+      zero,
+      Seq(LogLine(java.time.Instant.now().toString, "Error", error.getMessage)),
+      fallbackUsed = true,
+      sourceUrl = "",
+      fetchedAt = "",
+      durationSec = 0.0
+    )
+  }
+
+  /** `run` with the reference's outer error semantics: any failure
+    * degrades to the zeroed-metrics result instead of throwing.
+    */
+  def runSafe(
+      spark: SparkSession,
+      useMock: Boolean = true,
+      csvOut: Option[String] = None
+  ): RunResult =
+    try run(spark, useMock, csvOut)
+    catch { case scala.util.control.NonFatal(e) => degraded(spark, e) }
+
   /** Run the full pipeline. `useMock = true` skips the HTTP attempt (test
     * determinism); false reproduces fetch-then-fallback (S1 semantics).
     */

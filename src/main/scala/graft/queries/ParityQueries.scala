@@ -184,7 +184,46 @@ object ParityQueries {
       table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
-        .limit(500))
+        .limit(500)),
+
+    // S1 as a DataSource V2 connector: the deterministic generator runs
+    // inside the scan (per input partition, executor-side), option-driven
+    // row count — `spark.read.format("randomuser").option("n", ...)`.
+    "s1_dsv2_source" -> ((s, _) =>
+      Normalize.flattenForCsv(
+        s.read.format("randomuser").option("n", 50).option("partitions", 4).load()
+      ).orderBy("id")),
+
+    // K3 — degraded zero-metrics result when the pipeline throws
+    // (pages/index.js:293-311): poison the CSV sink path, expect the
+    // zeroed envelope instead of an exception.
+    "k3_degraded_metrics" -> ((s, _) => {
+      val r = Pipeline.runSafe(s, csvOut = Some("/proc/nonexistent/x"))
+      s.range(1)
+        .select(
+          lit(r.metrics.getAs[Long]("rows_in")).as("rows_in"),
+          lit(r.metrics.getAs[Long]("totalUsers")).as("totalUsers"),
+          lit(r.metrics.getAs[Double]("avgRegistrationYears")).as("avgRegistrationYears"),
+          lit(r.metrics.getAs[String]("lastUser")).as("lastUser"),
+          lit(r.fallbackUsed).as("fallbackUsed"),
+          lit(r.users.count()).as("n_users")
+        )
+    }),
+
+    // A2 at the 100 TB tier: HLL++ approx distinct beside the exact count
+    // (SURVEY §7.3 — exact at parity scale, approx for the scale path).
+    // The oracle checks the exact count and the within-5%% contract.
+    "a2_approx_distinct_scale" -> ((s, dir) => {
+      val agg = table(s, dir, "customer").agg(
+        count_distinct(col("c_custkey")).as("n_exact"),
+        approx_count_distinct(col("c_custkey"), 0.01).as("n_approx")
+      )
+      agg.select(
+        col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
+          .as("approx_within_5pct")
+      )
+    })
   )
 
   private val mockUsersSelect =
@@ -297,6 +336,18 @@ object ParityQueries {
         |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin,
     "l3_source_limit" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+    "s1_dsv2_source" ->
+      s"""${Q.MockUsersCte}
+         |$mockUsersSelect
+         |ORDER BY id""".stripMargin,
+    "k3_degraded_metrics" ->
+      """SELECT CAST(0 AS BIGINT) AS rows_in, CAST(0 AS BIGINT) AS totalUsers,
+        |  CAST(0.0 AS DOUBLE) AS avgRegistrationYears, 'N/A' AS lastUser,
+        |  CAST(1 AS BOOLEAN) AS fallbackUsed, CAST(0 AS BIGINT) AS n_users""".stripMargin,
+    "a2_approx_distinct_scale" ->
+      """SELECT count(DISTINCT c_custkey) AS n_exact,
+        |  CAST(1 AS BOOLEAN) AS approx_within_5pct
+        |FROM customer""".stripMargin
   )
 }

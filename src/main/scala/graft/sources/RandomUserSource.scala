@@ -1,0 +1,116 @@
+package graft.sources
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.model.Schemas
+
+/** DataSource V2 connector for the deterministic user source:
+  * `spark.read.format("randomuser").option("n", 500).load()`.
+  *
+  * The reference's source is an HTTP fetch with a deterministic fallback
+  * generator (src/lib/randomuser.js:1-68); this connector is the
+  * engine-native form of that source: the generator runs INSIDE the scan
+  * (per input partition, on executors) instead of materializing rows on
+  * the driver — `option("partitions", p)` splits the index range, so a
+  * 10^9-row synthetic load scales across a cluster with zero driver
+  * involvement. Rows are identical to [[MockUserSource.users]]
+  * (FIXTURES.md A2), which the equality spec asserts.
+  */
+class RandomUserSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "randomuser"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Schemas.user
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]
+  ): Table = new RandomUserTable(properties.asScala.toMap)
+}
+
+private class RandomUserTable(props: Map[String, String])
+    extends Table
+    with SupportsRead {
+
+  override def name(): String = "randomuser"
+  override def schema(): StructType = Schemas.user
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private val n = options.getLong("n", props.getOrElse("n", "50").toLong)
+      private val parts =
+        options.getInt("partitions", props.getOrElse("partitions", "4").toInt)
+
+      override def build(): Scan = this
+      override def readSchema(): StructType = Schemas.user
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val step = math.max(1L, math.ceil(n.toDouble / parts).toLong)
+        (0L until n by step)
+          .map(start => UserRangePartition(start, math.min(start + step, n)))
+          .toArray[InputPartition]
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        new UserReaderFactory
+    }
+}
+
+private case class UserRangePartition(start: Long, end: Long) extends InputPartition
+
+private class UserReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[UserRangePartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      private val fmt = DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .withZone(ZoneOffset.UTC)
+      private val t0 = Instant.parse("2026-01-01T00:00:00Z")
+
+      override def next(): Boolean = { i += 1; i < p.end }
+
+      override def get(): InternalRow = {
+        // identical formulas to MockUserSource.users (FIXTURES.md A2)
+        val first = if (i % 2 == 0) s"John$i" else s"Jane$i"
+        val last = s"Doe$i"
+        val country = Seq("USA", "Canada", "Mexico")((i % 3).toInt)
+        val city = if (i % 2 == 0) "New York" else "Los Angeles"
+        val date = fmt.format(t0.minusSeconds(i * 86400L))
+        def s(v: String) = UTF8String.fromString(v)
+        def struct(vs: Any*) = new GenericInternalRow(vs.toArray)
+        struct(
+          struct(s(s"mock-id-$i")),
+          struct(s(first), s(last)),
+          s(s"$first.$last@example.com".toLowerCase),
+          // lpad(i, 2, '0') semantics incl. truncation for i >= 100
+          s("555-0101-" + { val d = i.toString; if (d.length >= 2) d.take(2) else "0" + d }),
+          struct(s(country), s(city)),
+          struct(s(date)),
+          struct(s(s"https://example.com/thumb/$i.jpg"))
+        )
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
