@@ -320,7 +320,7 @@ object ParityQueries {
         |       ELSE concat(source, '.example.com') END AS domain
         |FROM documents ORDER BY doc_id""".stripMargin,
     "p7_years_since" ->
-      """SELECT year(current_date) - year(o_orderdate) AS years, count(*) AS n
+      """SELECT CAST(year(current_date) - year(o_orderdate) AS INT) AS years, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "p8_string_format" ->
       """SELECT c_custkey,

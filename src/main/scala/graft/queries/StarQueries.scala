@@ -162,6 +162,62 @@ object StarQueries {
           col("o_orderpriority").asc_nulls_first
         )),
 
+    // Q7-shape volume shipping between two nation pairs: the customer and
+    // supplier nation joins are both broadcast; the pair predicate rides
+    // on the joined frame; one groupBy on (nation pair, year).
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val n2 = table(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+        .filter(
+          (col("cust_nation") === "NATION_1" && col("supp_nation") === "NATION_2") ||
+            (col("cust_nation") === "NATION_2" && col("supp_nation") === "NATION_1")
+        )
+        .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg((sum(revUnits) / 10000.0).as("revenue"))
+        .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+    }),
+
+    // Q19-shape disjunctive pricing: OR-of-conjunctions across the
+    // lineitem⋈part join — Catalyst extracts the common p_partkey join
+    // key and pushes the brand/size disjunction to the part scan.
+    "q19_disjunctive_pricing" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))
+        )
+        .agg(
+          (sum(revUnits) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items")
+        )),
+
+    // CUBE over returnflag × linestatus: all four grouping-set levels in
+    // one Expand + hash agg pass.
+    "q_cube_lineitem_stats" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity")).cast("long")).as("sum_qty")
+        )
+        .orderBy(
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first
+        )),
+
     // Semi/anti in one pass: per-nation counts of customers with and
     // without orders. The distinct custkey set is aggregated before the
     // join (orders-side shrink), then left-joined; nation broadcast.
@@ -233,8 +289,8 @@ object StarQueries {
     "q_window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    rank() OVER (PARTITION BY o_custkey
-        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |    CAST(rank() OVER (PARTITION BY o_custkey
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
         |  FROM orders) t
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
@@ -245,6 +301,32 @@ object StarQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  CAST(sum($revUnitsSql) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q19_disjunctive_pricing" ->
+      s"""SELECT CAST(sum($revUnitsSql) AS DOUBLE) / 10000.0 AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_cube_lineitem_stats" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "q_semi_anti_customers" ->
       """SELECT n_name,
         |  count(o_custkey) AS n_with_orders,

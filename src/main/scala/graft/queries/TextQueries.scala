@@ -31,9 +31,9 @@ object TextQueries {
       table(s, dir, "documents")
         .select(
           col("doc_id"),
-          size(split(col("text"), " ")).as("n_ws_tokens"),
-          expr(s"size(regexp_extract_all(text, '$BpePat', 0))").as("n_bpe_tokens"),
-          length(col("text")).as("n_chars_computed")
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          expr(s"CAST(size(regexp_extract_all(text, '$BpePat', 0)) AS BIGINT)").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars_computed")
         )
         .orderBy("doc_id")),
 
