@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** Streaming tier over the `events` table (SURVEY.md §2.10 — the reference
   * has no real streaming; its "Live Log" is a cosmetic animation. This is
@@ -60,6 +61,34 @@ object EventPipeline {
 
   def sessionizeStream(events: DataFrame): DataFrame =
     sessionize(events.withWatermark("ts", "30 minutes"))
+
+  final case class UserStat(user_id: Long, n_events: Long, sum_value_cents: Long)
+
+  /** Custom per-key streaming state via `mapGroupsWithState`: running
+    * per-user event count + exact value cents, carried across
+    * micro-batches in the state store. In batch mode the same code path
+    * degenerates to a single-group pass (state starts empty), so the
+    * batch result equals a plain groupBy — `StreamingSpec` asserts both.
+    *
+    * Scale: state is one (Long, Long) per active user — the state store
+    * grows with |users|, not |events|; pair with a timeout policy to
+    * expire idle keys in production.
+    */
+  def runningUserStats(events: DataFrame): Dataset[UserStat] = {
+    val session = events.sparkSession
+    import session.implicits._
+    events
+      .selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS cents")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), UserStat](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          var (n, sum) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { case (_, c) => n += 1; sum += c }
+          state.update((n, sum))
+          UserStat(uid, n, sum)
+      }
+  }
 
   /** Replay a static parquet file as a file-source stream (test harness):
     * copies the file into a temp dir (the file streaming source lists

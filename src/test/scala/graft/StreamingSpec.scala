@@ -37,6 +37,47 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState running stats: batch path equals plain groupBy; stream converges") {
+    val events = graft.queries.Q.events(spark, Sf0001)
+    val viaState = EventPipeline
+      .runningUserStats(events)
+      .collect()
+      .map(u => (u.user_id, (u.n_events, u.sum_value_cents)))
+      .toMap
+    val viaAgg = events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 100) AS LONG)")).as("c")
+      )
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(viaState == viaAgg)
+
+    val stream = EventPipeline.runningUserStats(
+      EventPipeline.replayAsStream(spark, s"$Sf0001/events.parquet")
+    )
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("user_stats")
+      .outputMode("update")
+      .start()
+    try {
+      q.processAllAvailable()
+      // last update per user must equal the batch totals
+      val streamed = spark
+        .table("user_stats")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("sum_value_cents"))).as("m"))
+        .select(col("user_id"), col("m.n_events"), col("m.sum_value_cents"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(streamed == viaAgg)
+    } finally q.stop()
+  }
+
   test("sessionize: sessions are disjoint per user and cover all events") {
     val events = graft.queries.Q.events(spark, Sf0001)
     val sessions = EventPipeline.sessionize(events).cache()
