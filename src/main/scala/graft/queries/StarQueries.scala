@@ -204,6 +204,29 @@ object StarQueries {
           count(lit(1)).as("n_items")
         )),
 
+    // Q14-shape promo revenue share: conditional aggregation over one
+    // month of shipments joined to part; the share is an exact-integer
+    // ratio (both sums in 10^-4 units) divided once at the end.
+    "q14_promo_share" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1998-03-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-04-01").cast("timestamp")
+        )
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", revUnits).otherwise(lit(0L)))
+            .as("promo_units"),
+          sum(revUnits).as("total_units")
+        )
+        .select(
+          round(
+            col("promo_units").cast("double") * 100.0 / col("total_units").cast("double"),
+            6
+          ).as("promo_share_pct"),
+          (col("total_units").cast("double") / 10000.0).as("total_revenue")
+        )),
+
     // CUBE over returnflag × linestatus: all four grouping-set levels in
     // one Expand + hash agg pass.
     "q_cube_lineitem_stats" -> ((s, dir) =>
@@ -321,6 +344,16 @@ object StarQueries {
          |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q14_promo_share" ->
+      s"""WITH j AS (
+         |  SELECT CASE WHEN p_type = 'PROMO' THEN $revUnitsSql ELSE 0 END AS promo_u,
+         |         $revUnitsSql AS total_u
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
+         |SELECT round(CAST(sum(promo_u) AS DOUBLE) * CAST(100.0 AS DOUBLE) / CAST(sum(total_u) AS DOUBLE), 6) AS promo_share_pct,
+         |       CAST(sum(total_u) AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM j""".stripMargin,
     "q_cube_lineitem_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
