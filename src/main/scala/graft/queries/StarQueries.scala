@@ -266,9 +266,9 @@ object StarQueries {
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
-         |  sum(${centsSql("l_extendedprice")}) AS sum_base_price_cents,
-         |  sum($revUnitsSql) AS sum_disc_price_e4,
-         |  sum($revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS sum_charge_e6,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
+         |  CAST(sum($revUnitsSql) AS BIGINT) AS sum_disc_price_e4,
+         |  CAST(sum($revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
          |  round(avg(l_quantity), 2) AS avg_qty,
          |  round(sum(${centsSql("l_extendedprice")}) / count(*) / 100.0, 2) AS avg_price,
          |  round(avg(l_discount), 2) AS avg_disc,
@@ -320,7 +320,7 @@ object StarQueries {
     "q_rollup_order_stats" ->
       s"""SELECT o_orderstatus, o_orderpriority,
          |  count(*) AS n_orders,
-         |  sum(${centsSql("o_totalprice")}) AS total_cents
+         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
@@ -356,7 +356,7 @@ object StarQueries {
          |FROM j""".stripMargin,
     "q_cube_lineitem_stats" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-        |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,

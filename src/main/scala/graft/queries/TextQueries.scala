@@ -142,7 +142,7 @@ object TextQueries {
       s"""SELECT doc_id, ${charHashDuck("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "t_corpus_profile" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(avg(n_chars), 2) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  count(DISTINCT source) AS n_sources
