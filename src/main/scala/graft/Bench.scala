@@ -1,5 +1,5 @@
 package graft
-import java.util.concurrent.{Callable, FutureTask, TimeUnit, TimeoutException}
+import java.util.concurrent.{Callable, ExecutionException, FutureTask, TimeUnit, TimeoutException}
 
 import org.apache.spark.sql.SparkSession
 
@@ -11,16 +11,29 @@ import org.apache.spark.sql.SparkSession
   * sink executes the full physical plan including all column work, while
   * writing nothing (VERDICT.md r1 "What's wrong").
   *
-  * Fail-open design (VERDICT.md r2 "What's wrong" #3): a bench that prints
-  * its only output after all queries finish yields NOTHING on a driver
-  * timeout. So each query's time is printed the moment it's measured
-  * (`{"metric":"query",...}`), each query is bounded by a wall-clock cap
-  * (SPARK_GRAFT_BENCH_CAP seconds, default 60 — on expiry the query's Spark
-  * jobs are cancelled, -1 is recorded, and the run moves on), and reps
-  * default to 1 (SPARK_GRAFT_BENCH_REPS=3 restores warm-up + median-of-3
-  * for stable local measurements on this stall-prone host).
+  * Fail-open design (VERDICT.md r2): each query's time is printed the moment
+  * it's measured, and each query is bounded by a wall-clock cap
+  * (SPARK_GRAFT_BENCH_CAP seconds per rep, default 60).
+  *
+  * Measurement hygiene (VERDICT.md r3 "What's wrong" #1/#2 — round 3's
+  * 584.9 s total was a harness cascade, not a query regression):
+  *   - One untimed global warm-up before the timed loop touches every parquet
+  *     table and the noop sink, so the first timed query doesn't absorb the
+  *     JVM/codegen/datasource cold start (r3: alphabetically-first query paid
+  *     56.6 s of init).
+  *   - On cap expiry the worker thread is interrupted (`task.cancel(true)`)
+  *     AND `cancelJobGroup` is re-issued in a loop until the thread actually
+  *     dies: `cancelJobGroup` only cancels jobs active at that instant, and
+  *     an AQE query is many small jobs — a single cancel landing between jobs
+  *     leaves a zombie query saturating the shared local[32] scheduler under
+  *     every subsequent measurement. Two queries never share the scheduler.
+  *   - Reps default to 3 (warm-up rep + median of 3) on this stall-prone
+  *     host; the per-rep cap bounds worst-case wall-clock.
   */
 object Bench {
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,11 +41,34 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet carries TIMESTAMP(NANOS); set once here, not as a
+      // side effect of query construction (VERDICT.md r3 "What's wrong" #6).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP", "60").toLong
+
+    // ---- Untimed global warm-up: pay JVM + codegen + datasource init once.
+    val warmT0 = System.nanoTime()
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet")
+        .limit(32).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up $t skipped: ${e.getMessage}")
+      }
+    }
+    // Warm the mock/DSv2 path too — r3 showed driver-side mock queries are
+    // just as exposed to cold-start as parquet scans.
+    try SparkEntry.queries.get("s2_mock_users").foreach { fn =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up mock skipped: ${e.getMessage}")
+    }
+    System.err.println(s"[bench] warm-up done in ${fmt((System.nanoTime() - warmT0) / 1e9)}s")
 
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // Job-group tag set in the worker thread (setJobGroup is thread-local)
@@ -50,14 +86,30 @@ object Bench {
         }
       })
       val th = new Thread(task, s"bench-$name"); th.setDaemon(true); th.start()
-      try task.get(capSec * math.max(1, reps + (if (reps > 1) 1 else 0)), TimeUnit.SECONDS)
+      val budget = capSec * math.max(1, reps + (if (reps > 1) 1 else 0))
+      try task.get(budget, TimeUnit.SECONDS)
       catch {
         case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(name)
-          System.err.println(s"[bench] $name exceeded ${capSec}s cap, cancelled")
+          // Interrupt the worker AND keep cancelling the job group until the
+          // thread is provably dead — never start the next measurement with
+          // this query still holding scheduler slots.
+          task.cancel(true)
+          var waitedMs = 0L
+          while (th.isAlive && waitedMs < 30000L) {
+            try spark.sparkContext.cancelJobGroup(name)
+            catch { case _: Throwable => () }
+            th.join(500L); waitedMs += 500L
+          }
+          if (th.isAlive)
+            System.err.println(s"[bench] $name worker still alive after drain — results after this point may be contaminated")
+          System.err.println(s"[bench] $name exceeded ${budget}s budget, cancelled")
           -1.0
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val cause = e match {
+            case ee: ExecutionException if ee.getCause != null => ee.getCause
+            case other => other
+          }
+          System.err.println(s"[bench] $name failed: ${cause.getMessage}")
           -1.0
       }
     }
@@ -66,17 +118,17 @@ object Bench {
       val sec = measure(name, fn)
       // One parseable line per query, flushed immediately: a driver that
       // times out the whole run still gets every completed measurement.
-      println(f"""{"metric":"query","name":"$name","value":$sec%.3f,"unit":"sec"}""")
+      println(s"""{"metric":"query","name":"$name","value":${fmt(sec)},"unit":"sec"}""")
       Console.out.flush()
       name -> sec
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val failed = results.size - ok.size
     println(
-      s"""{"metric":"total","value":${f"${ok.sum}%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(ok.sum)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     )
     Console.out.flush()
     spark.stop()

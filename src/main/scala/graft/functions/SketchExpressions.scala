@@ -25,6 +25,12 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // Evaluates to null on an EMPTY input array (no tokens → no signature),
+  // not only on a null input — without this override, null-aware rewrites
+  // could miscompile and the codegen `isNull = true` branch under a
+  // declared-non-nullable expression is a Janino error (ADVICE r3).
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()

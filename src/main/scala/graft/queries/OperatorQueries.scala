@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Salting
+
+/** Driver-visible registrations of the scale-tier join operators
+  * (VERDICT r3 "What's missing" #2 — `Salting.saltedJoin` and the
+  * bucketed fact-fact join were real and unit-tested but invisible to a
+  * driver reading only CORRECTNESS_r*.json).
+  *
+  * Each query exercises the operator's full code path and oracles against
+  * the PLAIN formulation in DuckDB — for both operators the whole point is
+  * that results are identical to the unsalted/unbucketed join; only the
+  * physical distribution changes (spread a hot key over nSalts tasks;
+  * join co-located buckets with zero shuffle). The plan-shape assertions
+  * (salt distribution, no Exchange under the bucketed join) stay in
+  * `SaltingSpec`/`BucketedJoinSpec`.
+  */
+object OperatorQueries {
+  import Q._
+
+  private def dropManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  val queries: Map[String, Fn] = Map(
+    // Skew-salted broadcast-free join: every 3rd lineitem is remapped to
+    // supplier 1, making one key carry ~a third of the fact table — the
+    // shape that pins a plain shuffle join to a single task at 100 TB.
+    // saltedJoin splits key 1 across 8 sub-keys; the aggregate must equal
+    // the plain join (the DuckDB oracle).
+    "o_salted_join_skew" -> ((s, dir) => {
+      val fact = table(s, dir, "lineitem")
+        .select(
+          when(col("l_suppkey") % 3 === 0, lit(1L))
+            .otherwise(col("l_suppkey"))
+            .as("suppkey"),
+          col("l_orderkey"),
+          col("l_extendedprice")
+        )
+      val dim = table(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Salting
+        .saltedJoin(fact, dim, "suppkey", col("l_orderkey"), nSalts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents")
+        )
+        .orderBy("s_nationkey")
+    }),
+
+    // Bucketed fact-fact join: write both facts bucketed+sorted on the
+    // join key (bucket once), then join the bucketed tables (join many
+    // times, zero shuffle — see BucketedJoinSpec for the plan assertion).
+    // The registered form checks the co-located join computes exactly
+    // what the direct join computes.
+    "o_bucketed_join_stats" -> ((s, dir) => {
+      // A managed table's location can outlive the in-memory catalog (a
+      // previous JVM's spark-warehouse dir) — saveAsTable then fails with
+      // LOCATION_ALREADY_EXISTS even though DROP TABLE IF EXISTS is a
+      // no-op. Drop both the catalog entry and the orphan directory.
+      dropManagedTable(s, "graft_b_orders")
+      dropManagedTable(s, "graft_b_lineitem")
+      table(s, dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_b_orders")
+      table(s, dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_b_lineitem")
+      s.table("graft_b_lineitem")
+        .join(
+          s.table("graft_b_orders"),
+          col("l_orderkey") === col("o_orderkey")
+        )
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents")
+        )
+        .orderBy("o_orderstatus")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Salting must be semantics-preserving: the oracle is the PLAIN join.
+    "o_salted_join_skew" ->
+      s"""SELECT s_nationkey, count(*) AS n,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+         |FROM lineitem JOIN supplier
+         |  ON (CASE WHEN l_suppkey % 3 = 0 THEN 1 ELSE l_suppkey END) = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    // Bucketing must be semantics-preserving: the oracle is the direct join.
+    "o_bucketed_join_stats" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}

@@ -189,10 +189,35 @@ object ParityQueries {
     // S1 as a DataSource V2 connector: the deterministic generator runs
     // inside the scan (per input partition, executor-side), option-driven
     // row count — `spark.read.format("randomuser").option("n", ...)`.
+    // n=150 deliberately crosses the 3-digit index boundary to pin the
+    // pad-without-truncate phone semantics (VERDICT r3 #4).
     "s1_dsv2_source" -> ((s, _) =>
       Normalize.flattenForCsv(
-        s.read.format("randomuser").option("n", 50).option("partitions", 4).load()
+        s.read.format("randomuser").option("n", 150).option("partitions", 4).load()
       ).orderBy("id")),
+
+    // L2 — the raw-JSON modal: first 10 users of the page in API order
+    // (pages/index.js:262 `users.slice(0, 10)` pretty-printed into the
+    // "Raw JSON" modal; object shape per pages/api/etl/restart.js:14-20).
+    // API order = index order = most-recent-registered first (registered =
+    // T0 − index days), so the deterministic form sorts on registered DESC.
+    // Rendering is `to_json` over the full nested user struct — both
+    // engines emit compact key-ordered JSON, so the strings hash-match.
+    "l2_raw_json_page" -> ((s, _) =>
+      MockUserSource
+        .users(s)
+        .orderBy(col("registered.date").desc)
+        .limit(10)
+        .select(
+          col("id.value").as("key"),
+          to_json(
+            struct(
+              col("id"), col("name"), col("email"), col("phone"),
+              col("location"), col("registered"), col("picture")
+            )
+          ).as("raw_json")
+        )
+        .orderBy("key")),
 
     // K3 — degraded zero-metrics result when the pipeline throws
     // (pages/index.js:293-311): poison the CSV sink path, expect the
@@ -227,12 +252,12 @@ object ParityQueries {
   )
 
   private val mockUsersSelect =
-    """SELECT concat('mock-id-', i) AS id, first AS name_first, last AS name_last,
-      |  lower(concat(first, '.', last, '@example.com')) AS email,
-      |  concat('555-0101-', lpad(CAST(i AS VARCHAR), 2, '0')) AS phone,
-      |  country, city,
-      |  concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z') AS registered_date
-      |FROM u""".stripMargin
+    s"""SELECT concat('mock-id-', i) AS id, first AS name_first, last AS name_last,
+       |  lower(concat(first, '.', last, '@example.com')) AS email,
+       |  concat('555-0101-', ${Q.padIndexSql("i")}) AS phone,
+       |  country, city,
+       |  concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z') AS registered_date
+       |FROM u""".stripMargin
 
   // Raw-envelope mock (FIXTURES.md A3): key coalesce + every-10th invalid date.
   private val rawUsersCte =
@@ -302,7 +327,7 @@ object ParityQueries {
         "concat('He said \"', first, '\"')",
         "last",
         "lower(concat(first, '.', last, '@example.com'))",
-        "concat('555-0101-', lpad(CAST(i AS VARCHAR), 2, '0'))",
+        s"concat('555-0101-', ${Q.padIndexSql("i")})",
         "country",
         "city",
         "concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z')"
@@ -338,9 +363,22 @@ object ParityQueries {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
     "s1_dsv2_source" ->
-      s"""${Q.MockUsersCte}
+      s"""${Q.mockUsersCte(150)}
          |$mockUsersSelect
          |ORDER BY id""".stripMargin,
+    "l2_raw_json_page" ->
+      s"""${Q.MockUsersCte}
+         |SELECT concat('mock-id-', i) AS key,
+         |  CAST(to_json(struct_pack(
+         |    id := struct_pack(value := concat('mock-id-', i)),
+         |    name := struct_pack(first := first, last := last),
+         |    email := lower(concat(first, '.', last, '@example.com')),
+         |    phone := concat('555-0101-', ${Q.padIndexSql("i")}),
+         |    location := struct_pack(country := country, city := city),
+         |    registered := struct_pack(date := concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z')),
+         |    picture := struct_pack(thumbnail := concat('https://example.com/thumb/', i, '.jpg'))
+         |  )) AS VARCHAR) AS raw_json
+         |FROM u WHERE i < 10 ORDER BY key""".stripMargin,
     "k3_degraded_metrics" ->
       """SELECT CAST(0 AS BIGINT) AS rows_in, CAST(0 AS BIGINT) AS totalUsers,
         |  CAST(0.0 AS DOUBLE) AS avgRegistrationYears, 'N/A' AS lastUser,

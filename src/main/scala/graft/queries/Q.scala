@@ -13,15 +13,17 @@ object Q {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** The `events` table stores TIMESTAMP(NANOS) parquet, which Spark 4
-    * refuses by default; read nanos as Long and truncate to microseconds
-    * with integer division (`div` — double division would lose precision
-    * at ~1.7e18 ns). DuckDB's ns→us cast truncates identically.
+    * refuses by default; the session mains/test base set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at startup (set once
+    * there, not here — a query constructor mutating shared session state is
+    * order-dependent for later parquet reads, VERDICT r3 #6). Read nanos as
+    * Long and truncate to microseconds with integer division (`div` —
+    * double division would lose precision at ~1.7e18 ns). DuckDB's ns→us
+    * cast truncates identically.
     */
-  def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   /** Exact money arithmetic, portable across engines.
     *
@@ -42,14 +44,22 @@ object Q {
     * (FIXTURES.md A2) via `generate_series` — lets DuckDB oracle-check the
     * parity-tier queries without any parquet input.
     */
-  val MockUsersCte: String =
-    """WITH u AS (
-      |  SELECT i,
-      |    CASE WHEN i % 2 = 0 THEN concat('John', i) ELSE concat('Jane', i) END AS first,
-      |    concat('Doe', i) AS last,
-      |    ['USA','Canada','Mexico'][CAST(i % 3 AS INT) + 1] AS country,
-      |    CASE WHEN i % 2 = 0 THEN 'New York' ELSE 'Los Angeles' END AS city,
-      |    TIMESTAMP '2026-01-01 00:00:00' - i * INTERVAL '1 day' AS reg
-      |  FROM generate_series(0, 49) t(i)
-      |)""".stripMargin
+  def mockUsersCte(n: Int): String =
+    s"""WITH u AS (
+       |  SELECT i,
+       |    CASE WHEN i % 2 = 0 THEN concat('John', i) ELSE concat('Jane', i) END AS first,
+       |    concat('Doe', i) AS last,
+       |    ['USA','Canada','Mexico'][CAST(i % 3 AS INT) + 1] AS country,
+       |    CASE WHEN i % 2 = 0 THEN 'New York' ELSE 'Los Angeles' END AS city,
+       |    TIMESTAMP '2026-01-01 00:00:00' - i * INTERVAL '1 day' AS reg
+       |  FROM generate_series(0, ${n - 1}) t(i)
+       |)""".stripMargin
+
+  val MockUsersCte: String = mockUsersCte(50)
+
+  /** DuckDB mirror of `String(i).padStart(2, '0')` — pad WITHOUT truncating
+    * (DuckDB's `lpad`, like Spark's, truncates "150" to "15").
+    */
+  def padIndexSql(col: String): String =
+    s"CASE WHEN $col < 10 THEN concat('0', CAST($col AS VARCHAR)) ELSE CAST($col AS VARCHAR) END"
 }

@@ -31,6 +31,17 @@ object StreamQueries {
         .sessionize(events(s, dir))
         .orderBy("user_id", "session_start")),
 
+    // Custom per-key state (`mapGroupsWithState`) in its batch
+    // degeneration: running per-user count + exact value cents. The same
+    // function runs incrementally under readStream (StreamingSpec proves
+    // stream ≡ batch); this registration makes the batch path
+    // driver-checkable against a plain groupBy oracle (VERDICT r3 #5).
+    "s_running_user_stats" -> ((s, dir) =>
+      EventPipeline
+        .runningUserStats(events(s, dir))
+        .orderBy("user_id")
+        .toDF()),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -75,6 +86,11 @@ object StreamQueries {
         |       count(*) AS n_events
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // The state op's batch result must equal the plain groupBy.
+    "s_running_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -11,11 +11,17 @@ import org.apache.spark.sql.functions._
   * phone (:15); country cycles USA/Canada/Mexico by `index % 3` (:7); city by
   * parity (:8); `registered.date = now − index·86400000 ms` (:9).
   *
-  * Two intentional deltas for determinism (SURVEY.md §7.3 "hard parts"):
-  * the `Math.random()` id suffix (:12) becomes `mock-id-<index>`, and `now`
-  * is pinned to T0 = 2026-01-01T00:00:00Z (FIXTURES.md A2) so golden tests
+  * Three intentional deltas for determinism (SURVEY.md §7.3 "hard parts"):
+  * the `Math.random()` id suffix (:12) becomes `mock-id-<index>`; `now` is
+  * pinned to T0 = 2026-01-01T00:00:00Z (FIXTURES.md A2) so golden tests
   * have closed-form expectations (rows=50, countries=3, cities=2,
-  * lastUser="John0 Doe0").
+  * lastUser="John0 Doe0"); and the picture URL
+  * (`randomuser.me/api/portraits/${gender}/${index}.jpg` with gender
+  * men/women by index parity, src/lib/randomuser.js:16-18) becomes the
+  * neutral `example.com/thumb/<index>.jpg` — the reference's URL points at
+  * a live third-party image host that this engine never fetches; nothing
+  * downstream reads the URL's structure, only its presence (the thumbnail
+  * column is carried verbatim, pages/index.js:300).
   *
   * Scale note: generated via `spark.range(n)` — a parallel, partitioned
   * source with no driver-side materialization; n=50 for parity but the same
@@ -30,6 +36,14 @@ object MockUserSource {
 
   /** ISO-8601 format matching JS `Date.toISOString()` (pages/index.js:119). */
   val IsoFmt = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+  /** `String(index).padStart(2, '0')` (src/lib/randomuser.js:15): pad to
+    * two digits WITHOUT truncating — index 5 → "05", index 150 → "150".
+    * Spark's `lpad` truncates ("150" → "15"), wrong for index ≥ 100
+    * (VERDICT r3 #4), so pad conditionally.
+    */
+  def padIndex(i: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(i < 10, concat(lit("0"), i.cast("string"))).otherwise(i.cast("string"))
 
   /** Normalized users in the FIXTURES.md A1 nested shape. */
   def users(spark: SparkSession, n: Int = DefaultCount): DataFrame = {
@@ -53,7 +67,7 @@ object MockUserSource {
         struct(concat(lit("mock-id-"), i).as("value")).as("id"),
         struct(first.as("first"), last.as("last")).as("name"),
         lower(concat(first, lit("."), last, lit("@example.com"))).as("email"),
-        concat(lit("555-0101-"), lpad(i.cast("string"), 2, "0")).as("phone"),
+        concat(lit("555-0101-"), padIndex(i)).as("phone"),
         struct(country.as("country"), city.as("city")).as("location"),
         struct(registered.as("date")).as("registered"),
         struct(
@@ -97,7 +111,7 @@ object MockUserSource {
         struct(concat(lit("uuid-"), i).as("uuid")).as("login"),
         struct(first.as("first"), last.as("last")).as("name"),
         lower(concat(first, lit("."), last, lit("@example.com"))).as("email"),
-        concat(lit("555-0101-"), lpad(i.cast("string"), 2, "0")).as("phone"),
+        concat(lit("555-0101-"), padIndex(i)).as("phone"),
         struct(country.as("country"), city.as("city")).as("location"),
         struct(registered.as("date")).as("registered"),
         struct(

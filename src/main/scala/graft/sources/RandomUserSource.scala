@@ -102,8 +102,9 @@ private class UserReaderFactory extends PartitionReaderFactory {
           struct(s(s"mock-id-$i")),
           struct(s(first), s(last)),
           s(s"$first.$last@example.com".toLowerCase),
-          // lpad(i, 2, '0') semantics incl. truncation for i >= 100
-          s("555-0101-" + { val d = i.toString; if (d.length >= 2) d.take(2) else "0" + d }),
+          // String(i).padStart(2, '0') (src/lib/randomuser.js:15): pad
+          // WITHOUT truncating — "150" stays "150" (VERDICT r3 #4)
+          s("555-0101-" + { val d = i.toString; if (d.length >= 2) d else "0" + d }),
           struct(s(country), s(city)),
           struct(s(date)),
           struct(s(s"https://example.com/thumb/$i.jpg"))

@@ -95,8 +95,8 @@ object EventPipeline {
     * directories) and reads it with the batch-inferred schema.
     */
   def replayAsStream(spark: SparkSession, parquetFile: String): DataFrame = {
-    // events ships TIMESTAMP(NANOS): read nanos as Long, truncate to µs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events ships TIMESTAMP(NANOS): the session must be created with
+    // spark.sql.legacy.parquet.nanosAsLong=true (set in the mains/test base)
     val schema = spark.read.parquet(parquetFile).schema
     val dir = java.nio.file.Files.createTempDirectory("events-replay")
     java.nio.file.Files.copy(

@@ -56,8 +56,12 @@ def main(out_dir, sf_dir):
         if len(g) != len(e):
             print(f"FAIL  {name}: rows {len(g)} vs oracle {len(e)}"); n_fail += 1; continue
         try:
+            # Driver-strict (VERDICT r3 #2, third listing): dtypes must match
+            # and values must be exact — both engines are built to produce
+            # bit-identical results (integer-cents sums, portable hashing),
+            # so any inexactness here is a real bug the driver would flag.
             pd.testing.assert_frame_equal(g.reset_index(drop=True), e.reset_index(drop=True),
-                                          check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-9)
+                                          check_dtype=True, check_exact=True)
             print(f"PASS  {name} ({len(g)} rows)"); n_pass += 1
         except AssertionError as ex:
             msg = str(ex).splitlines()
