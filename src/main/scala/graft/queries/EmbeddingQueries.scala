@@ -44,6 +44,11 @@ object EmbeddingQueries {
     */
   private val NumTables = 12
   private val BitsPerTable = 4
+
+  /** Fixed-point scale (2^20) for k-means centroid arithmetic — see
+    * `e_kmeans_ivf_topk`. */
+  private val QScale = 1048576L
+  private val KMeansIters = 2
   private[queries] lazy val planesFlat: IndexedSeq[Double] = {
     val rnd = new scala.util.Random(424242L)
     IndexedSeq.fill(NumTables * BitsPerTable * 64)(rnd.nextDouble() * 2 - 1)
@@ -190,6 +195,86 @@ object EmbeddingQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with k-means-LEARNED centroids (VERDICT r3 stretch): 2 Lloyd
+    // iterations from the deterministic vec_id%50 seed set, then the same
+    // nprobe=2 / top-5 search as e_ivf_topk, exact re-rank on the
+    // original vectors. Centroid updates run on fixed-point QUANTIZED
+    // coordinates (×2^20 → BIGINT): integer sums are exact and
+    // associative, so the learned centroids are bit-identical across
+    // engines AND across partitionings — a naive double mean is
+    // order-dependent and could flip a near-tie assignment. This is also
+    // the 100 TB path: the update is a plain partial-aggregating
+    // sum/count per (cid, dim) — no ordered folds, no collect — and the
+    // assignment is a broadcast-centroid argmax identical to e_ivf_topk's.
+    "e_kmeans_ivf_topk" -> ((s, dir) => {
+      // quantized corpus: qvi exact BIGINT, qv = same values as DOUBLE
+      // (64 dims × (2^20)^2 ≤ 2^46 keeps dot products overflow-safe)
+      val vec = table(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+            .as("qvi")
+        )
+        .withColumn("qv", expr("transform(qvi, x -> CAST(x AS DOUBLE))"))
+        .withColumn("qn", expr(dotSpark("qv", "qv")))
+      // one Lloyd step: nearest-centroid assignment (single-pass argmax,
+      // ties → smallest cid), then per-dimension exact integer mean
+      def assign(cent: DataFrame): DataFrame =
+        vec
+          .select(col("vec_id"), col("qv"), col("qn"))
+          .crossJoin(broadcast(cent))
+          .withColumn("cos", cosCol)
+          .groupBy(col("vec_id"))
+          .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m"))
+          .select(col("vec_id"), (-col("m.negcid")).as("cid"))
+      def update(asg: DataFrame): DataFrame =
+        asg
+          .join(vec.select(col("vec_id"), col("qvi")), "vec_id")
+          .select(col("cid"), posexplode(col("qvi")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("col")).cast("double") / count(lit(1))).as("v"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)").as("cv"))
+          .withColumn("cn", expr(dotSpark("cv", "cv")))
+      val cent0 = vec
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+      val learned = (1 to KMeansIters).foldLeft(cent0)((c, _) => update(assign(c)))
+      // search: probe 2 nearest learned centroids (quantized metric, same
+      // as assignment), candidates from probed cells, exact re-rank on
+      // the ORIGINAL unquantized vectors
+      val all = vecs(s, dir)
+      val asgF = assign(learned)
+      val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
+      val probes = vec
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv"), col("qn"))
+        .crossJoin(broadcast(learned))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wProbe))
+        .filter(col("rn") <= 2)
+        .select(col("query_id"), col("cid"))
+      val q = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val wTop = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      probes
+        .join(asgF, "cid")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+        .distinct()
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(
+          all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+          "neighbor_id"
+        )
+        .join(broadcast(q), "query_id")
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Embedding-cosine near-dup: 12-table sign-LSH bucket join → exact
     // verify ≥ 0.95. P(banding miss | cos ≥ 0.95) ≈ 2e-7 — the verified
     // output equals the exact pair set (the oracle).
@@ -253,6 +338,60 @@ object EmbeddingQueries {
          |      FROM sc)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Mirrors the 2 unrolled Lloyd iterations: quantized BIGINT sums make
+    // every centroid coordinate bit-identical to Spark's regardless of
+    // aggregation order, so assignments, probes, and the final top-5
+    // cannot diverge on near-ties.
+    "e_kmeans_ivf_topk" -> {
+      // one Lloyd step as two CTEs: a<k> assignment against c<k-1>,
+      // s<k> per-(cid, dim) integer mean, c<k> reassembled centroid
+      def step(k: Int): String = {
+        val prev = s"c${k - 1}"
+        s"""a$k AS (SELECT vec_id, cid FROM (
+           |  SELECT x.vec_id, c.cid,
+           |    row_number() OVER (PARTITION BY x.vec_id
+           |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
+           |  FROM qn x CROSS JOIN $prev c) WHERE rn = 1),
+           |s$k AS (SELECT a.cid, r.range - 1 AS pos,
+           |         CAST(sum(x.qvi[r.range]) AS DOUBLE) / count(*) AS v
+           |       FROM a$k a JOIN qn x ON x.vec_id = a.vec_id
+           |            CROSS JOIN range(1, 65) r
+           |       GROUP BY a.cid, r.range),
+           |c$k AS (SELECT cid, cv, ${dotDuck("cv", "cv")} AS cn FROM (
+           |       SELECT cid, list(v ORDER BY pos) AS cv FROM s$k GROUP BY cid))""".stripMargin
+      }
+      s"""WITH q0 AS (SELECT vec_id,
+         |    [CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) for x in embedding] AS qvi
+         |  FROM embeddings),
+         |qv AS (SELECT vec_id, qvi, [CAST(x AS DOUBLE) for x in qvi] AS qv FROM q0),
+         |qn AS (SELECT vec_id, qvi, qv, ${dotDuck("qv", "qv")} AS qn FROM qv),
+         |c0 AS (SELECT vec_id AS cid, qv AS cv, qn AS cn FROM qn WHERE vec_id % 50 = 0),
+         |${(1 to KMeansIters).map(step).mkString(",\n")},
+         |af AS (SELECT vec_id, cid FROM (
+         |  SELECT x.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
+         |  FROM qn x CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT x.vec_id AS query_id, c.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
+         |  FROM qn x CROSS JOIN c$KMeansIters c WHERE x.vec_id < 10) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+         |         FROM probes p JOIN af a ON p.cid = a.cid
+         |         WHERE a.vec_id <> p.query_id),
+         |e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, ${dotDuck("v", "v")} AS nrm FROM e),
+         |sc AS (SELECT cand.query_id, cand.neighbor_id,
+         |         ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |       FROM cand JOIN n q ON q.vec_id = cand.query_id
+         |                 JOIN n c ON c.vec_id = cand.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     // Exact ground truth — the LSH+verify path must reproduce it.
     "e_cosine_neardup_pairs" ->
       s"""$nearCorpusCte
