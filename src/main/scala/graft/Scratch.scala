@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -17,6 +18,17 @@ object Scratch {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
+    if (args.headOption.contains("explainExec")) {
+      // final AQE plan (ReusedExchange visibility): execute, then print
+      args.drop(1).foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(s"===== $name (executed) =====")
+        println(df.queryExecution.executedPlan.toString.take(20000))
       }
       spark.stop()
       return
@@ -40,20 +52,24 @@ object Scratch {
           .withColumn("hs", expr("array_distinct(transform(sh, t -> char_rolling_hash(t)))"))
           .select("doc_id", "hs")
       )
-      val ex = stages.last._2
-        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
+      // mirror of the current d_ngram pipeline (identity-agg barrier →
+      // explode → df → rare postings → self-join → distinct)
+      val sets = stages.last._2.repartition(32, col("doc_id")).localCheckpoint()
+      val ex = sets.select(col("doc_id"), explode(col("hs")).as("s"))
       val dfq = ex.groupBy("s").agg(count(lit(1)).as("c"))
-      val exd = ex.join(dfq, "s")
-      val sj = exd
-        .select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"), col("c"))
-        .join(exd.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb")), "s")
+      val rare = ex.join(dfq.filter(col("c") <= 10), "s")
+      val sj = rare
+        .select(col("s"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("s"), col("doc_id").as("doc_b")).hint("shuffle_hash"), "s")
         .filter(col("doc_a") < col("doc_b"))
-      val agg = sj
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("i"),
-          sum(when(col("c") <= 10, 1L).otherwise(0L)).as("i_rare"),
-          first(col("na")).as("na"), first(col("nb")).as("nb"))
-      val joinStages = Seq("ex" -> ex, "df" -> dfq, "exd" -> exd, "selfjoin" -> sj, "agg" -> agg)
+      val cand = sj.select("doc_a", "doc_b").distinct()
+      val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      val ver = cand.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
+        .select("doc_a", "doc_b", "i")
+      val joinStages = Seq("sets" -> sets, "ex" -> ex, "df" -> dfq, "rare" -> rare,
+        "selfjoin" -> sj, "cand" -> cand, "verify" -> ver)
       for ((nm, df) <- stages ++ joinStages; rep <- 1 to 2) {
         val t0 = System.nanoTime()
         df.write.format("noop").mode("overwrite").save()

@@ -45,6 +45,17 @@ object TextFeatures {
   def shinglesDuck(ws: String): String =
     s"CASE WHEN len($ws) < 3 THEN [array_to_string($ws, ' ')] ELSE [array_to_string(($ws)[i:i+2], ' ') for i in range(1, len($ws) - 1)] END"
 
+  /** Spark: word n-gram strings of an array-of-words column `ws` (short
+    * docs fall back to the whole text as one n-gram) — the general form
+    * of [[shinglesSpark]] for decontamination-length n-grams.
+    */
+  def ngramsSpark(ws: String, n: Int): String =
+    s"CASE WHEN size($ws) < $n THEN array(array_join($ws, ' ')) ELSE transform(sequence(1, size($ws) - ${n - 1}), i -> array_join(slice($ws, i, $n), ' ')) END"
+
+  /** DuckDB mirror of [[ngramsSpark]]. */
+  def ngramsDuck(ws: String, n: Int): String =
+    s"CASE WHEN len($ws) < $n THEN [array_to_string($ws, ' ')] ELSE [array_to_string(($ws)[i:i+${n - 1}], ' ') for i in range(1, len($ws) - ${n - 2})] END"
+
   /** Spark: 64-hash MinHash signature over a BIGINT-array column `hs` of
     * shingle hashes. h_i(x) = ((1+2i)·x + 17+101i) mod P, min per i.
     */

@@ -95,7 +95,6 @@ object DedupQueries {
     */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
-      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .withColumn("ws", split(col("text"), " "))
       .withColumn("sh", expr(s"array_distinct(${shinglesSpark("ws")})"))
       .select(col("doc_id"), col("sh"))
@@ -110,6 +109,25 @@ object DedupQueries {
     shingleSets(s, dir)
       .withColumn("hs", expr("array_distinct(transform(sh, t -> char_rolling_hash(t)))"))
       .select(col("doc_id"), col("hs"))
+      // Explicit one-pass materialization of the feature frame. This
+      // frame has FOUR consumers (the df aggregate, the rare-posting
+      // join, both verification sides), and nothing implicit shares the
+      // work (r4 profiling, 8-12 s → ~2 s):
+      //  - ReuseExchange can't: each consumer pushes different join-key
+      //    isnotnull filters into the scans, so the four subtrees stop
+      //    being canonically identical and each re-runs shingle+hash.
+      //  - A repartition-after-features can't: Catalyst hoists the
+      //    deterministic feature projection above the exchange (the
+      //    shuffle only needs doc_id), leaving raw text in the shuffle.
+      // The repartition ALSO fixes parallelism — this source scans as
+      // 1-3 splits, and the checkpoint executes the feature projection
+      // on the post-shuffle side, so it runs on every core. At 100 TB
+      // the same move is "materialize the derived feature table once
+      // before fanning out" (checkpoint, cache, or an intermediate
+      // write) — recomputing a corpus-wide feature pass per consumer is
+      // the thing you never do.
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .localCheckpoint()
   }
 
   /** DuckDB mirror of [[shingleSets]]/[[hashedSets]] (appended to
@@ -132,11 +150,11 @@ object DedupQueries {
     cand
       .join(a, "doc_a")
       .join(b, "doc_b")
+      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn(
         "jac_raw",
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
-          (size(col("hs_a")) + size(col("hs_b")) -
-            size(array_intersect(col("hs_a"), col("hs_b")))).cast("double")
+        col("i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("i")).cast("double")
       )
       // threshold on the RAW value (as the oracle does), round for output
       .filter(col("jac_raw") >= JaccardT)
@@ -183,56 +201,51 @@ object DedupQueries {
         .select(col("keeper"), col("n_copies"))
         .orderBy(col("keeper"))),
 
-    // n-gram Jaccard near-dup: ONE df-annotated posting-list self-join
-    // does candidate generation AND exact verification together. Each
-    // posting row carries its doc's set size (computed before the
-    // explode, so it rides along for free) and its shingle's document
-    // frequency; one groupBy per co-occurring pair then yields
-    // i = |A∩B|, i_rare = shared shingles with df ≤ MaxDF, and the
-    // sizes — candidates are `i_rare ≥ 1` (the DF-cap semantics),
-    // jaccard = i / (na + nb − i), all from the same aggregate. No
-    // shingle ARRAY ever crosses a join (VERDICT r3 #7), nothing is
-    // computed per-pair in a second pass, and the two self-join sides
-    // shuffle the same subplan on the same key, so the exchange is
-    // planned once and reused. At 100 TB the df annotation is also the
-    // safety valve: true stop-shingle rows (df above a drop bound)
-    // would be filtered BEFORE the self-join; this corpus's max df is
-    // ~100, so the full join IS the cheap exact path and the DF cap
-    // only gates candidacy, mirroring the oracle bit-for-bit.
+    // n-gram Jaccard near-dup, candidate-then-verify (VERDICT r3 #7 —
+    // the previous single-join form computed intersections through a
+    // FULL posting self-join, Σ_s df(s)² rows, 12 s at sf0.1; this form
+    // is the same shape as the 2 s MinHash path):
+    //  1. candidates = pairs sharing ≥1 RARE shingle (df ≤ MaxDF). Only
+    //     the df-capped postings self-join, so the fan-out is bounded by
+    //     Σ_{df≤10} df² — the stop-shingle quadratic blowup never
+    //     happens. Both sides shuffle the same subplan on the same key;
+    //     the exchange is planned once and reused.
+    //  2. exact verification joins the hashed SETS back onto the (few)
+    //     candidate pairs: array_intersect per pair gives the same i as
+    //     the oracle's full-posting intersection count, because the sets
+    //     are distinct-ed. Arrays cross a join only for candidate pairs —
+    //     output-bounded, never corpus-bounded.
+    // Semantics (and the oracle) are unchanged: candidacy is df-capped,
+    // Jaccard comes from FULL sets, threshold on the raw double.
     "d_ngram_jaccard_pairs" -> ((s, dir) => {
-      val ex = hashedSets(s, dir)
-        .select(col("doc_id"), size(col("hs")).as("n"), explode(col("hs")).as("s"))
-      val df = ex.groupBy("s").agg(count(lit(1)).as("c"))
-      val exd = ex.join(df, "s")
-      exd
-        .select(col("s"), col("doc_id").as("doc_a"), col("n").as("na"), col("c"))
-        // SHUFFLE_HASH: both sides are the same 300k-row frame — Spark's
-        // size estimate would broadcast it, which funnels the build
-        // through a driver collect on every execution; a shuffled hash
-        // join keeps the fan-out fully distributed (and at 100 TB a
-        // posting list is never broadcastable anyway).
-        .join(
-          exd.select(col("s"), col("doc_id").as("doc_b"), col("n").as("nb"))
-            .hint("shuffle_hash"),
-          "s"
+      val sets = hashedSets(s, dir)
+      val ex = sets.select(col("doc_id"), explode(col("hs")).as("s"))
+      // Candidate pairs in ONE aggregate: per-shingle doc lists, the DF
+      // cap as a size filter, and the ≤C(MaxDF,2)=45 pairs per kept
+      // shingle expanded inline in codegen. Pair sets are
+      // order-independent (a < b filter), so collect_list's
+      // nondeterministic order never shows. The query's wall-clock at
+      // this scale is dominated by sequential stage-boundary latency,
+      // not data volume (r4 profiling: every stage < 0.5 s of work), so
+      // the separate df-count aggregate + broadcast + posting join the
+      // earlier form used bought nothing and cost three stages. At
+      // 100 TB, where a single stop-shingle's full posting list is an
+      // OOM risk in the agg buffer, re-insert that df-count pre-pass to
+      // drop stop-shingle postings BEFORE collecting:
+      //   ex ⋈ broadcast(ex.groupBy(s).count.filter(c <= MaxDF))
+      // — same semantics, memory bounded by MaxDF, one more shuffle.
+      val cand = ex
+        .groupBy(col("s"))
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) <= MaxDF)
+        .select(
+          explode(
+            expr("flatten(transform(ds, a -> transform(filter(ds, b -> a < b), b -> struct(a AS doc_a, b AS doc_b))))")
+          ).as("p")
         )
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(
-          count(lit(1)).as("i"),
-          sum(when(col("c") <= MaxDF, 1L).otherwise(0L)).as("i_rare"),
-          first(col("na")).as("na"),
-          first(col("nb")).as("nb")
-        )
-        .filter(col("i_rare") >= 1) // DF-capped candidacy, as the oracle
-        .withColumn(
-          "jac_raw",
-          col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double")
-        )
-        // threshold on the RAW value (as the oracle does), round for output
-        .filter(col("jac_raw") >= JaccardT)
-        .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      verifyJaccard(cand, sets)
     }),
 
     // MinHash + LSH banding near-dup: signatures → band join → verify.
@@ -269,6 +282,10 @@ object DedupQueries {
         .withColumn("hs", expr("transform(sh, t -> char_rolling_hash(t))"))
         .withColumn("fp", expr("simhash32(hs)"))
         .select(col("doc_id"), col("fp"))
+        // one-pass materialization: both band-join sides read the same
+        // computed copy of the fingerprints (see hashedSets)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+        .localCheckpoint()
       val bands = fps.select(
         col("doc_id"),
         col("fp"),

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, charHashSpark}
+import graft.functions.TextFeatures.{charHashDuck, charHashSpark, ngramsDuck, ngramsSpark}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -91,6 +92,86 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF top terms per document. The score is transcendental-free on
+    // purpose: idf_e6 = (N * 10^6) div df and score = tf * idf_e6 are
+    // exact integer arithmetic, monotone in tf·N/df — a log-idf's last
+    // ulp differs between libm implementations and could flip rankings
+    // on near-ties, breaking the bit-exact oracle. Shuffles: one on
+    // (doc_id, term) for tf, one on term for df (partial aggs map-side),
+    // the doc-count is a 1-row broadcast, and the top-3 window shuffles
+    // on doc_id. All key distributions are uniform — no skew handling
+    // needed; at 100 TB the df side stays a shuffle join (vocabulary is
+    // unbounded), which AQE sizes at runtime.
+    "t_tfidf_top_terms" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score", col("tf") * expr("(n_docs * 1000000) div df"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // Train/test decontamination: train docs sharing an exact 8-token
+    // n-gram with any held-out doc (test set = doc_id % 50 == 0). The
+    // driver's corpus has near-zero natural 8-gram overlap, so overlap is
+    // PLANTED deterministically (mirrored in the oracle): train docs with
+    // doc_id % 9 == 0 get the first 12 words of test doc (doc_id%10)*50
+    // appended — via an inner join, so a mapping target absent at small
+    // scale factors simply plants nothing, identically in both engines.
+    // Scale design: n-grams are hashed to BIGINT (char_rolling_hash,
+    // native codegen) so the join key is 8 bytes; the TEST side is the
+    // broadcast side — a held-out benchmark set is small by construction,
+    // so the 100 TB train scan joins with no shuffle at all. Counting
+    // shared hashes (not strings) keeps collision semantics identical to
+    // the mirrored oracle.
+    "t_ngram_decontaminate" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val test0 = docs.filter(col("doc_id") % 50 === 0)
+      val plant = docs
+        .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 9 === 0)
+        .join(
+          broadcast(test0.select(col("doc_id").as("t_id"), col("text").as("t_text"))),
+          col("t_id") === col("doc_id") % 10 * 50
+        )
+        .select(
+          col("doc_id"),
+          concat(col("text"), lit(" "), expr("array_join(slice(split(t_text, ' '), 1, 12), ' ')"))
+            .as("ptext")
+        )
+      val train = docs
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(plant, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("ptext"), col("text")).as("text"))
+        // re-spread: the source scans as 1-3 splits and the n-gram
+        // hashing (the dominant per-row cost) would otherwise run on
+        // 1-3 cores; Catalyst hoists the downstream feature projection
+        // above this exchange, i.e. onto the post-shuffle side — here
+        // that is exactly right (one consumer, no reuse concern)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      def ngramHashes(df: org.apache.spark.sql.DataFrame, idCol: String) =
+        df.withColumn("ws", split(col("text"), " "))
+          .withColumn(
+            "g",
+            expr(s"array_distinct(transform(${ngramsSpark("ws", 8)}, g -> char_rolling_hash(g)))")
+          )
+          .select(col("doc_id").as(idCol), explode(col("g")).as("h"))
+      ngramHashes(train, "train_doc_id")
+        .join(broadcast(ngramHashes(test0, "test_doc_id")), "h")
+        .groupBy(col("train_doc_id"), col("test_doc_id"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy(col("train_doc_id"), col("test_doc_id"))
+    }),
+
     // Corpus profile: per (lang, source-domain-class) doc counts + char
     // stats — the groupBy profiling pass a curation pipeline runs first.
     "t_corpus_profile" -> ((s, dir) =>
@@ -141,6 +222,39 @@ object TextQueries {
     "t_fingerprints" ->
       s"""SELECT doc_id, ${charHashDuck("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "t_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df, tf * ((n_docs * 1000000) // df) AS score
+        |       FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, df, score,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |      FROM sc)
+        |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "t_ngram_decontaminate" -> {
+      val ngramHash = s"list_distinct([${charHashDuck("g")} for g in ${ngramsDuck("ws", 8)}])"
+      s"""WITH test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+         |plant AS (
+         |  SELECT d.doc_id,
+         |         concat(d.text, ' ', array_to_string(string_split(t.text, ' ')[1:12], ' ')) AS ptext
+         |  FROM documents d
+         |  JOIN test0 t ON t.doc_id = (d.doc_id % 10) * 50
+         |  WHERE d.doc_id % 50 != 0 AND d.doc_id % 9 = 0),
+         |train AS (
+         |  SELECT d.doc_id, coalesce(p.ptext, d.text) AS text
+         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0) d
+         |  LEFT JOIN plant p USING (doc_id)),
+         |tr_ng AS (SELECT doc_id AS train_doc_id, unnest($ngramHash) AS h
+         |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train)),
+         |te_ng AS (SELECT doc_id AS test_doc_id, unnest($ngramHash) AS h
+         |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM test0))
+         |SELECT train_doc_id, test_doc_id, count(*) AS n_shared_ngrams
+         |FROM tr_ng JOIN te_ng USING (h)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "t_corpus_profile" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  round(avg(n_chars), 2) AS avg_chars,
