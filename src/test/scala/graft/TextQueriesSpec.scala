@@ -1,0 +1,53 @@
+package graft
+
+import graft.queries.TextQueries
+
+/** Invariants for the TF-IDF and decontamination operators on sf0.001. */
+class TextQueriesSpec extends SparkSpecBase {
+
+  test("tfidf: exactly 3 ranks per doc, score non-increasing, tie-broken by term") {
+    val rows = TextQueries.queries("t_tfidf_top_terms")(spark, Sf0001).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length) && rs.length <= 3)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = ordered.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // equal scores must be ordered by term ascending (deterministic)
+      ordered.zip(ordered.tail).foreach { case (a, b) =>
+        if (a.getAs[Long]("score") == b.getAs[Long]("score"))
+          assert(a.getAs[String]("term") < b.getAs[String]("term"))
+      }
+    }
+  }
+
+  test("tfidf: score equals tf * ((N * 1e6) div df) exactly") {
+    val n = spark.read.parquet(s"$Sf0001/documents.parquet").count()
+    TextQueries.queries("t_tfidf_top_terms")(spark, Sf0001).collect().foreach { r =>
+      val expected = r.getAs[Long]("tf") * ((n * 1000000L) / r.getAs[Long]("df"))
+      assert(r.getAs[Long]("score") == expected)
+    }
+  }
+
+  test("decontamination finds every planted train→test overlap") {
+    val rows = TextQueries.queries("t_ngram_decontaminate")(spark, Sf0001).collect()
+    val found = rows
+      .map(r => (r.getAs[Long]("train_doc_id"), r.getAs[Long]("test_doc_id")))
+      .toSet
+    // planted: train doc d (d%9==0, not test) contaminated from test doc
+    // (d%10)*50 when that doc exists; at sf0.001 only test doc 0 exists
+    val docIds = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val planted = docIds
+      .filter(d => d % 50 != 0 && d % 9 == 0 && docIds.contains((d % 10) * 50))
+      .map(d => (d, (d % 10) * 50))
+    assert(planted.nonEmpty && planted.subsetOf(found))
+    // every reported overlap is at least one shared 8-gram
+    assert(rows.forall(_.getAs[Long]("n_shared_ngrams") >= 1L))
+  }
+}
