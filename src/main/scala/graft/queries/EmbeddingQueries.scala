@@ -239,7 +239,13 @@ object EmbeddingQueries {
       val cent0 = vec
         .filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
-      val learned = (1 to KMeansIters).foldLeft(cent0)((c, _) => update(assign(c)))
+      // checkpoint the (tiny, ≤ |corpus|/50-row) centroid frame: it has
+      // two consumers (final assignment + query probes) which would each
+      // re-run the whole Lloyd-iteration DAG; on a real cluster you'd
+      // persist learned centroids the same way
+      val learned = (1 to KMeansIters)
+        .foldLeft(cent0)((c, _) => update(assign(c)))
+        .localCheckpoint()
       // search: probe 2 nearest learned centroids (quantized metric, same
       // as assignment), candidates from probed cells, exact re-rank on
       // the ORIGINAL unquantized vectors
@@ -280,7 +286,11 @@ object EmbeddingQueries {
     // output equals the exact pair set (the oracle).
     "e_cosine_neardup_pairs" -> ((s, dir) => {
       val cor = nearCorpus(s, dir)
-      val bk = lshBuckets(cor)
+      // one pass of the 48-plane sign-bit computation: the bucket frame
+      // self-joins (two consumers), and the corpus feeds three subplans
+      // (both bucket sides via bk, both verify sides) — materialize the
+      // buckets so the plane dot products run once
+      val bk = lshBuckets(cor).localCheckpoint()
       val cand = bk
         .select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
         .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))
