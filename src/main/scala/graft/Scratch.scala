@@ -41,15 +41,12 @@ object Scratch {
       val stages: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
         "read" -> docs,
         "split" -> docs.withColumn("ws", split(col("text"), " ")).select("doc_id", "ws"),
-        "shingle" -> docs.withColumn("ws", split(col("text"), " "))
-          .withColumn("sh", expr(graft.functions.TextFeatures.shinglesSpark("ws")))
-          .select("doc_id", "sh"),
-        "shingle_distinct" -> docs.withColumn("ws", split(col("text"), " "))
-          .withColumn("sh", expr(s"array_distinct(${graft.functions.TextFeatures.shinglesSpark("ws")})"))
-          .select("doc_id", "sh"),
+        "wordhash" -> docs.withColumn("ws", split(col("text"), " "))
+          .withColumn("wh", expr("transform(ws, w -> char_rolling_hash(w))"))
+          .select("doc_id", "wh"),
         "hash" -> docs.withColumn("ws", split(col("text"), " "))
-          .withColumn("sh", expr(s"array_distinct(${graft.functions.TextFeatures.shinglesSpark("ws")})"))
-          .withColumn("hs", expr("array_distinct(transform(sh, t -> char_rolling_hash(t)))"))
+          .withColumn("wh", expr("transform(ws, w -> char_rolling_hash(w))"))
+          .withColumn("hs", expr(s"array_distinct(${graft.functions.TextFeatures.hashedNgramsSpark("wh", 3)})"))
           .select("doc_id", "hs")
       )
       // mirror of the current d_ngram pipeline (identity-agg barrier →

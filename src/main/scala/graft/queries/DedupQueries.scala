@@ -77,38 +77,36 @@ object DedupQueries {
       |  WHERE doc_id % 10 = 0
       |)""".stripMargin
 
-  /** doc_id + distinct shingle set (the shared feature frame).
-    *
-    * The corpus is REPARTITIONED by doc_id before any per-row feature
-    * work: a documents file this small scans as 1–3 input splits, and
-    * without an exchange every downstream stage — shingling, hashing,
-    * the posting-list explode, even the self-join probe and partial
-    * aggregation (broadcast joins insert no exchange) — inherits that
-    * 1–3-task parallelism no matter how many cores the cluster has.
-    * The shuffle moves only (doc_id, text), a few KB per row; the same
-    * rule at 100 TB re-spreads a source whose split count undershoots
-    * the cluster (few huge gzip files, a coalesced upstream write).
-    * The partition count is EXPLICIT: AQE coalesces a bare
-    * `repartition(col)` back down when the shuffled bytes are tiny —
-    * it can't see the 50× explode and 13× join fan-out downstream —
-    * and a user-specified count is the documented way to pin it.
+  /** doc_id + word-hash array: each word char-hashed ONCE (native
+    * codegen `char_rolling_hash`); every shingle/sketch feature derives
+    * NUMERICALLY from this via [[hashedNgramsSpark]] — the hot path
+    * allocates no shingle strings and char-hashes each word once instead
+    * of ~3× inside concatenated shingle strings.
     */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private def wordHashes(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
     corpus(s, dir)
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("sh", expr(s"array_distinct(${shinglesSpark("ws")})"))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), expr("transform(ws, w -> char_rolling_hash(w))").as("wh"))
+  }
 
-  /** doc_id + distinct HASHED shingle set: Jaccard arithmetic runs on
-    * 8-byte longs instead of ~20-char strings — lighter shuffles, cheaper
-    * intersections. Distinct-ed AFTER hashing so any hash collision gives
-    * identical set semantics in Spark and the (mirrored) oracle.
+  /** doc_id + distinct hashed 3-gram shingle set: Jaccard arithmetic runs
+    * on 8-byte longs — light shuffles, cheap intersections. Distinct-ed
+    * AFTER hashing so any hash collision gives identical set semantics in
+    * Spark and the (mirrored) oracle.
     */
-  private def hashedSets(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.SketchExpressions.register(s)
-    shingleSets(s, dir)
-      .withColumn("hs", expr("array_distinct(transform(sh, t -> char_rolling_hash(t)))"))
-      .select(col("doc_id"), col("hs"))
+  private def hashedSets(s: SparkSession, dir: String): DataFrame =
+    wordHashes(s, dir)
+      // `wh` is let-bound as a lambda variable: CollapseProject would
+      // otherwise inline the word-hash transform into every `wh`
+      // reference inside the n-gram window lambda — re-hashing every
+      // word once per window (r4 profiling: a ~50× per-row blowup on
+      // the decontamination query's 8-gram variant)
+      .select(
+        col("doc_id"),
+        expr(s"array_distinct(flatten(transform(array(wh), wh -> ${hashedNgramsSpark("wh", 3)})))")
+          .as("hs")
+      )
       // Explicit one-pass materialization of the feature frame. This
       // frame has FOUR consumers (the df aggregate, the rare-posting
       // join, both verification sides), and nothing implicit shares the
@@ -128,15 +126,14 @@ object DedupQueries {
       // the thing you never do.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .localCheckpoint()
-  }
 
-  /** DuckDB mirror of [[shingleSets]]/[[hashedSets]] (appended to
+  /** DuckDB mirror of [[wordHashes]]/[[hashedSets]] (appended to
     * [[corpusCte]]); `ex`/`sz` operate on the hashed sets.
     */
   private val shingleCte: String =
     s""", tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
-       |, shs AS (SELECT doc_id, list_distinct(${shinglesDuck("ws")}) AS sh FROM tok)
-       |, hsl AS (SELECT doc_id, list_distinct([${charHashDuck("t")} for t in sh]) AS hs FROM shs)
+       |, whs AS (SELECT doc_id, [${charHashDuck("w")} for w in ws] AS wh FROM tok)
+       |, hsl AS (SELECT doc_id, list_distinct(${hashedNgramsDuck("wh", 3)}) AS hs FROM whs)
        |, ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl)
        |, sz AS (SELECT doc_id, len(hs) AS n FROM hsl)""".stripMargin
 
@@ -278,14 +275,11 @@ object DedupQueries {
     // (exact for hamming ≤ 3), then the distance itself.
     "d_simhash_pairs" -> ((s, dir) => {
       graft.functions.SketchExpressions.register(s)
-      val fps = shingleSets(s, dir)
-        .withColumn("hs", expr("transform(sh, t -> char_rolling_hash(t))"))
+      // fingerprints over the same checkpointed hashed-shingle sets the
+      // other dedup queries share (both band-join sides reuse one copy)
+      val fps = hashedSets(s, dir)
         .withColumn("fp", expr("simhash32(hs)"))
         .select(col("doc_id"), col("fp"))
-        // one-pass materialization: both band-join sides read the same
-        // computed copy of the fingerprints (see hashedSets)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-        .localCheckpoint()
       val bands = fps.select(
         col("doc_id"),
         col("fp"),
@@ -350,7 +344,7 @@ object DedupQueries {
     "d_simhash_pairs" ->
       s"""$corpusCte
          |$shingleCte
-         |, fps AS (SELECT doc_id, ${simhashDuck(s"[${charHashDuck("t")} for t in sh]")} AS fp FROM shs)
+         |, fps AS (SELECT doc_id, ${simhashDuck("hs")} AS fp FROM hsl)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, charHashSpark, ngramsDuck, ngramsSpark}
+import graft.functions.TextFeatures.{charHashDuck, hashedNgramsDuck, hashedNgramsSpark}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -170,11 +170,19 @@ object TextQueries {
         // above this exchange, i.e. onto the post-shuffle side — here
         // that is exactly right (one consumer, no reuse concern)
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      // numeric n-gram hashing: each word char-hashed once, 8-gram hash
+      // folded from the word hashes — no per-n-gram string allocation.
+      // The word-hash array is LET-BOUND as a lambda variable: projection
+      // collapse would otherwise inline its transform into every
+      // reference inside the window lambda, re-hashing each word once
+      // per window (~50× per-row blowup, r4 profiling).
       def ngramHashes(df: org.apache.spark.sql.DataFrame, idCol: String) =
         df.withColumn("ws", split(col("text"), " "))
           .withColumn(
             "g",
-            expr(s"array_distinct(transform(${ngramsSpark("ws", 8)}, g -> char_rolling_hash(g)))")
+            expr(
+              s"array_distinct(flatten(transform(array(transform(ws, w -> char_rolling_hash(w))), wh -> ${hashedNgramsSpark("wh", 8)})))"
+            )
           )
           .select(col("doc_id").as(idCol), explode(col("g")).as("h"))
       ngramHashes(train, "train_doc_id")
@@ -289,7 +297,7 @@ object TextQueries {
         |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "t_ngram_decontaminate" -> {
-      val ngramHash = s"list_distinct([${charHashDuck("g")} for g in ${ngramsDuck("ws", 8)}])"
+      val ngramHash = s"list_distinct(${hashedNgramsDuck("wh", 8)})"
       s"""WITH test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
          |plant AS (
          |  SELECT d.doc_id,
@@ -302,9 +310,9 @@ object TextQueries {
          |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0) d
          |  LEFT JOIN plant p USING (doc_id)),
          |tr_ng AS (SELECT doc_id AS train_doc_id, unnest($ngramHash) AS h
-         |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM train)),
+         |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM train)),
          |te_ng AS (SELECT doc_id AS test_doc_id, unnest($ngramHash) AS h
-         |          FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM test0))
+         |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM test0))
          |SELECT train_doc_id, test_doc_id, count(*) AS n_shared_ngrams
          |FROM tr_ng JOIN te_ng USING (h)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
