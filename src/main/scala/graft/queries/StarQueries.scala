@@ -279,6 +279,50 @@ object StarQueries {
            |LIMIT 100""".stripMargin
       )),
 
+    // Q4-shape order-priority check via EXISTS: declared as a correlated
+    // EXISTS subquery; Catalyst's RewritePredicateSubquery plans it as a
+    // LEFT SEMI join of orders against the date-shifted lineitem
+    // predicate — no per-row subquery execution, and the orders date
+    // filter pushes to the scan. Exercises the predicate-subquery
+    // rewrite path the way q2 exercises scalar-subquery decorrelation.
+    "q4_order_priority_exists" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS order_count
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+           |  AND EXISTS (
+           |    SELECT 1 FROM parquet.`$dir/lineitem.parquet`
+           |    WHERE l_orderkey = o_orderkey
+           |      AND l_shipdate > o_orderdate + INTERVAL 90 DAYS)
+           |GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin
+      )),
+
+    // Q18-shape large-volume customers: the IN subquery (orders whose
+    // total quantity exceeds the threshold) rewrites to a semi join
+    // against an aggregated lineitem; quantity sums are exact BIGINT
+    // (round-to-long as in q1) so group totals and the HAVING edge are
+    // bit-identical across engines. Top-20 bounded output.
+    "q18_large_volume_customers" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("tq"))
+        .filter(col("tq") > 280)
+        .select(col("l_orderkey").as("big_okey"))
+      table(s, dir, "customer")
+        .join(table(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(
+          table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // Semi/anti in one pass: per-nation counts of customers with and
     // without orders. The distinct custkey set is aggregated before the
     // join (orders-side shrink), then left-joined; nation broadcast.
@@ -406,6 +450,29 @@ object StarQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q4_order_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q18_large_volume_customers" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 280)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
