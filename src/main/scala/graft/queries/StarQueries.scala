@@ -323,6 +323,206 @@ object StarQueries {
         .limit(20)
     }),
 
+    // Q6-shape forecast revenue change: the one pure scan-aggregate in the
+    // suite — no join at all. All three predicates push to the parquet
+    // scan (shipdate range, discount band, quantity cap); revenue =
+    // extprice*discount in exact 10^-4 units. At 100 TB this is the
+    // I/O-bound floor: one codegen'd scan + partial/final agg, and with
+    // date-partitioned storage the year predicate prunes partitions.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24
+        )
+        .agg(
+          (sum(
+            round(col("l_extendedprice") * 100).cast("long") *
+              round(col("l_discount") * 100).cast("long")
+          ) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items")
+        )),
+
+    // Q8-shape market share: of all AMERICA-customer revenue on ECONOMY
+    // parts, the fraction supplied by NATION_1, by order year. The share
+    // is a ratio of two conditional sums over the same joined frame (one
+    // pass, like q14); dims broadcast, fact-fact left to AQE. Exact e4
+    // units in both numerator and denominator; single division at the end.
+    "q8_market_share" -> ((s, dir) => {
+      val custNat = broadcast(
+        table(s, dir, "nation")
+          .join(
+            table(s, dir, "region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey")
+          )
+          .select(col("n_nationkey").as("c_nk"))
+      )
+      val suppNat = broadcast(
+        table(s, dir, "nation")
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      )
+      table(s, dir, "lineitem")
+        .join(
+          table(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(custNat, col("c_nationkey") === col("c_nk"))
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(suppNat, col("s_nationkey") === col("s_nk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", revUnits).otherwise(lit(0L)))
+            .as("nation_units"),
+          sum(revUnits).as("total_units")
+        )
+        .select(
+          col("o_year"),
+          round(
+            col("nation_units").cast("double") / col("total_units").cast("double"),
+            6
+          ).as("mkt_share")
+        )
+        .orderBy("o_year")
+    }),
+
+    // Q9-shape product-type profit: the testdata has no partsupp, so cost
+    // is proxied by p_retailprice × quantity (documented delta). Profit
+    // per line = revUnits − retail_cents·100·qty, all exact Long e4
+    // units; grouped by supplier nation × order year. Part filter
+    // (name LIKE) pushes to the part scan; nation broadcast.
+    "q9_product_profit" -> ((s, dir) => {
+      val amountE4 = revUnits -
+        round(col("p_retailprice") * 100).cast("long") * lit(100L) *
+        round(col("l_quantity")).cast("long")
+      table(s, dir, "lineitem")
+        .join(
+          table(s, dir, "part").filter(col("p_name").contains("red")),
+          col("l_partkey") === col("p_partkey")
+        )
+        .join(table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(
+          broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey")
+        )
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg((sum(amountE4) / 10000.0).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11-shape important parts: per-part value (for suppliers of one
+    // nation) exceeding a fixed fraction of the total — a HAVING against
+    // a global scalar subquery. Declared in SQL so Catalyst plans the
+    // scalar as a 1-row broadcast against the grouped frame (no second
+    // scan of the grouped result; the CTE is shared). At 100 TB the
+    // value frame shuffles once on partkey; the total is a partial-agg
+    // rollup of the same shuffle output.
+    "q11_important_parts" -> ((s, dir) =>
+      s.sql(
+        s"""WITH v AS (
+           |  SELECT l_partkey AS partkey, CAST(sum($revUnitsSql) AS BIGINT) AS value_e4
+           |  FROM parquet.`$dir/lineitem.parquet`
+           |  JOIN parquet.`$dir/supplier.parquet` ON l_suppkey = s_suppkey
+           |  JOIN parquet.`$dir/nation.parquet` ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_3'
+           |  GROUP BY 1)
+           |SELECT partkey, value_e4
+           |FROM v
+           |WHERE value_e4 > (SELECT CAST(sum(value_e4) * 0.001 AS BIGINT) FROM v)
+           |ORDER BY value_e4 DESC, partkey""".stripMargin
+      )),
+
+    // Q13-shape customer order distribution: LEFT OUTER customer⋈orders
+    // with a non-trivial predicate INSIDE the join condition (urgent
+    // orders don't count, but the customer still appears with 0), then a
+    // two-level aggregation: per-customer count → distribution of counts.
+    // The first agg shuffles on custkey, the second on the (tiny) count
+    // domain. Exercises outer-join-with-condition + count(col) null
+    // semantics.
+    "q13_customer_distribution" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(
+          table(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT",
+          "left"
+        )
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Q15-shape top supplier: quarterly revenue per supplier, return the
+    // supplier(s) whose revenue equals the maximum — a scalar subquery
+    // over the same aggregated CTE (shared, not recomputed). Ties are
+    // all returned (per the public Q15 semantics), so no tie-break
+    // nondeterminism; revenue is exact e4 → the equality is exact.
+    "q15_top_supplier" -> ((s, dir) =>
+      s.sql(
+        s"""WITH rev AS (
+           |  SELECT l_suppkey AS suppkey, CAST(sum($revUnitsSql) AS BIGINT) AS total_e4
+           |  FROM parquet.`$dir/lineitem.parquet`
+           |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, CAST(total_e4 AS DOUBLE) / 10000.0 AS total_revenue
+           |FROM parquet.`$dir/supplier.parquet`
+           |JOIN rev ON s_suppkey = suppkey
+           |WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin
+      )),
+
+    // Q16-shape supplier counts by part attribute, EXCLUDING suppliers
+    // matched by a NOT IN subquery (negative account balance as the
+    // "complaints" proxy — the testdata has no comment column). NOT IN
+    // is the null-aware anti join (NAAJ) plan shape — distinct from
+    // q_semi_anti's left-anti — though s_suppkey is non-null here so the
+    // null path never fires at runtime. Distinct-supplier counts group
+    // on (brand, type, size) after a lineitem⋈part join.
+    "q16_supplier_part_counts" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT p_brand, p_type, p_size,
+           |  count(DISTINCT l_suppkey) AS supplier_cnt
+           |FROM parquet.`$dir/lineitem.parquet`
+           |JOIN parquet.`$dir/part.parquet` ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#1'
+           |  AND l_suppkey NOT IN (
+           |    SELECT s_suppkey FROM parquet.`$dir/supplier.parquet`
+           |    WHERE s_acctbal < 0)
+           |GROUP BY p_brand, p_type, p_size
+           |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+           |LIMIT 100""".stripMargin
+      )),
+
+    // Q17-shape small-quantity revenue: lineitems of one brand whose
+    // quantity is below 20% of that part's average quantity — a
+    // correlated scalar-avg subquery, decorrelated by Catalyst into an
+    // aggregate + join on partkey. The avg threshold is reformulated as
+    // exact integers (5·qty·cnt < sum_qty ⇔ qty < 0.2·avg since
+    // quantities are integral): no double division on the comparison
+    // path, so the predicate edge is bit-identical across engines.
+    "q17_small_quantity_revenue" -> ((s, dir) =>
+      s.sql(
+        s"""WITH li AS (
+           |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+           |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+           |  FROM parquet.`$dir/lineitem.parquet`),
+           |pq AS (
+           |  SELECT l_partkey AS partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+           |         count(*) AS cnt
+           |  FROM li GROUP BY 1)
+           |SELECT round(CAST(sum(price_cents) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly
+           |FROM li
+           |JOIN parquet.`$dir/part.parquet` ON l_partkey = p_partkey
+           |JOIN pq ON partkey = l_partkey
+           |WHERE p_brand = 'Brand#23' AND 5 * q * cnt < sum_q""".stripMargin
+      )),
+
     // Semi/anti in one pass: per-nation counts of customers with and
     // without orders. The distinct custkey set is aggregated before the
     // join (orders-side shrink), then left-joined; nation broadcast.
@@ -495,6 +695,103 @@ object StarQueries {
         |    WHERE ps2.partkey = ps.partkey AND r2.r_name = 'EUROPE')
         |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
         |LIMIT 100""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH j AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CASE WHEN n2.n_name = 'NATION_1' THEN $revUnitsSql ELSE 0 END AS nation_u,
+         |    $revUnitsSql AS total_u
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+         |SELECT o_year,
+         |  round(CAST(sum(nation_u) AS DOUBLE) / CAST(sum(total_u) AS DOUBLE), 6) AS mkt_share
+         |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(sum($revUnitsSql
+         |    - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+         |      * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      s"""WITH v AS (
+         |  SELECT l_partkey AS partkey, CAST(sum($revUnitsSql) AS BIGINT) AS value_e4
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3'
+         |  GROUP BY 1)
+         |SELECT partkey, value_e4
+         |FROM v
+         |WHERE value_e4 > (SELECT CAST(sum(value_e4) * 0.001 AS BIGINT) FROM v)
+         |ORDER BY value_e4 DESC, partkey""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS suppkey, CAST(sum($revUnitsSql) AS BIGINT) AS total_e4
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name, CAST(total_e4 AS DOUBLE) / 10000.0 AS total_revenue
+         |FROM supplier
+         |JOIN rev ON s_suppkey = suppkey
+         |WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_part_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 100""".stripMargin,
+    "q17_small_quantity_revenue" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |  FROM lineitem),
+        |pq AS (
+        |  SELECT l_partkey AS partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+        |         count(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(price_cents) AS DOUBLE) / 100.0 / 7.0, 4) AS avg_yearly
+        |FROM li
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pq ON partkey = l_partkey
+        |WHERE p_brand = 'Brand#23' AND 5 * q * cnt < sum_q""".stripMargin,
     "q_semi_anti_customers" ->
       """SELECT n_name,
         |  count(o_custkey) AS n_with_orders,

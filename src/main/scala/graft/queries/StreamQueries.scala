@@ -42,6 +42,40 @@ object StreamQueries {
         .orderBy("user_id")
         .toDF()),
 
+    // Stream-stream time-interval join in its batch degeneration:
+    // click→purchase attribution within 2 hours, aggregated per user.
+    // The join transform is shared with the streaming path
+    // (`attributedPairsStream`; StreamingSpec proves the replayed
+    // stream-stream join emits the same pair set).
+    "s_interval_join_attrib" -> ((s, dir) => {
+      val ev = events(s, dir)
+      EventPipeline
+        .attributedPairs(ev, ev)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_attributed"),
+          sum(col("p_cents")).as("attributed_cents")
+        )
+        .orderBy("user_id")
+    }),
+
+    // Watermark-bounded dedup in its batch degeneration: planted
+    // duplicate deliveries (every 13th event re-delivered) removed by
+    // event_id, then profiled per type. Streaming path =
+    // `dropDuplicatesWithinWatermark` (StreamingSpec).
+    "s_dedup_within_watermark" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val redelivered = ev.unionAll(ev.filter(col("event_id") % 13 === 0))
+      EventPipeline
+        .dedupEvents(redelivered)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents")
+        )
+        .orderBy("event_type")
+    }),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -91,6 +125,23 @@ object StreamQueries {
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "s_interval_join_attrib" ->
+      """WITH c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts,
+        |        CAST(round(value * 100) AS BIGINT) AS p_cents
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, count(*) AS n_attributed,
+        |  CAST(sum(p_cents) AS BIGINT) AS attributed_cents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p_ts >= c_ts AND p_ts < c_ts + INTERVAL '2 hours'
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // Dedup by event_id removes exactly the planted re-deliveries, so
+    // the oracle profiles the ORIGINAL table.
+    "s_dedup_within_watermark" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

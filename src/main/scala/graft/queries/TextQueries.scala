@@ -224,6 +224,85 @@ object TextQueries {
         )
     }),
 
+    // Repetition profiling (Gopher-style quality rule: Rae et al. 2021,
+    // arXiv:2112.11446 §A1.1 — drop docs whose duplicate n-gram fraction
+    // is high). Two signals per doc: duplicate word-bigram fraction
+    // (narrow per-row projection: bigrams from adjacent word pairs,
+    // dup fraction = 1 − distinct/total, integer-count ratio) and
+    // top-word frequency fraction computed the SCALABLE way — explode →
+    // (doc, word) counts → per-doc max/sum — one shuffle on (doc_id,
+    // word), not the O(n²) per-row higher-order-lambda formulation. The
+    // `flagged` gate uses the published-style thresholds (>0.2 dup
+    // bigrams or >0.3 top-word share), compared on exact integers.
+    "t_repetition_profile" -> ((s, dir) => {
+      val tf = table(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_words"))
+      table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn(
+          "bg",
+          expr(
+            "transform(sequence(0, size(ws) - 2), i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))"
+          )
+        )
+        .select(
+          col("doc_id"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("long")
+            .as("n_dup_bigrams")
+        )
+        .join(tf, "doc_id")
+        .select(
+          col("doc_id"),
+          col("n_words"),
+          expr("round(CAST(n_dup_bigrams AS DOUBLE) / n_bigrams, 6)")
+            .as("dup_bigram_ratio"),
+          expr("round(CAST(max_tf AS DOUBLE) / n_words, 6)").as("top_word_ratio"),
+          (col("n_dup_bigrams") * 5 > col("n_bigrams") ||
+            col("max_tf") * 10 > col("n_words") * 3).as("flagged")
+        )
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction: regex email/phone scrubbing with per-doc counts —
+    // the masking pass a curation pipeline runs before training. The
+    // corpus is synthetic, so PII is PLANTED deterministically (docs
+    // with doc_id % 11 == 0 get an email + a 555-prefixed number
+    // appended; mirrored in the oracle). Patterns stay in the
+    // ASCII-literal subset where Java and RE2-style engines agree.
+    // Per-row narrow projection, fully inside codegen; the redacted
+    // text itself is returned as its rolling-hash fingerprint so the
+    // result stays narrow.
+    "t_pii_redact" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      // `[.]` not `\.`: Spark SQL string literals eat backslash escapes
+      // (so '\.' would reach the regex engine as bare '.'), DuckDB's
+      // don't — the bracket class is identical in both.
+      val emailPat = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phonePat = "555-[0-9]{4}"
+      table(s, dir, "documents")
+        .withColumn(
+          "t",
+          when(
+            col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" reach doc"), col("doc_id").cast("string"), lit("@mail.example or 555-0199"))
+          ).otherwise(col("text"))
+        )
+        .select(
+          col("doc_id"),
+          expr(s"CAST(size(regexp_extract_all(t, '$emailPat', 0)) AS BIGINT)").as("n_emails"),
+          expr(s"CAST(size(regexp_extract_all(t, '$phonePat', 0)) AS BIGINT)").as("n_phones"),
+          expr(
+            s"char_rolling_hash(regexp_replace(regexp_replace(t, '$emailPat', '[EMAIL]'), '$phonePat', '[PHONE]'))"
+          ).as("redacted_fp")
+        )
+        .orderBy("doc_id")
+    }),
+
     // Corpus profile: per (lang, source-domain-class) doc counts + char
     // stats — the groupBy profiling pass a curation pipeline runs first.
     "t_corpus_profile" -> ((s, dir) =>
@@ -316,6 +395,39 @@ object TextQueries {
          |SELECT train_doc_id, test_doc_id, count(*) AS n_shared_ngrams
          |FROM tr_ng JOIN te_ng USING (h)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "t_repetition_profile" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(max(tf) AS BIGINT) AS max_tf,
+        |               CAST(sum(tf) AS BIGINT) AS n_words FROM tf GROUP BY 1),
+        |bg AS (SELECT doc_id, [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bg
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+        |b2 AS (SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |               CAST(len(bg) - len(list_distinct(bg)) AS BIGINT) AS n_dup_bigrams
+        |       FROM bg)
+        |SELECT doc_id, n_words,
+        |  round(CAST(n_dup_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_ratio,
+        |  round(CAST(max_tf AS DOUBLE) / n_words, 6) AS top_word_ratio,
+        |  (n_dup_bigrams * 5 > n_bigrams OR max_tf * 10 > n_words * 3) AS flagged
+        |FROM b2 JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "t_pii_redact" -> {
+      val email = "[a-z0-9]+@[a-z0-9]+[.][a-z]+"
+      val phone = "555-[0-9]{4}"
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0
+         |         THEN text || ' reach doc' || doc_id || '@mail.example or 555-0199'
+         |         ELSE text END AS t
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    len(regexp_extract_all(t, '$email')) AS n_emails,
+         |    len(regexp_extract_all(t, '$phone')) AS n_phones,
+         |    regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g') AS red
+         |  FROM t)
+         |SELECT doc_id, n_emails, n_phones, ${charHashDuck("red")} AS redacted_fp
+         |FROM r ORDER BY doc_id""".stripMargin
     },
     "t_corpus_profile" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -90,6 +90,58 @@ object EventPipeline {
       }
   }
 
+  /** Click→purchase attribution pairs via a time-interval join: for each
+    * click, the purchases by the same user within the 2 hours that
+    * follow. The same transform is a batch join (AQE-planned) and a
+    * STREAM-STREAM join under `readStream`: with watermarks on both
+    * sides the interval condition bounds the join state to the 2-hour
+    * band per user — the canonical Structured-Streaming interval-join
+    * pattern. Scale: both sides shuffle once on user_id; state size is
+    * |active users| × events-per-2h, independent of stream length.
+    */
+  def attributedPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+    val p = purchases
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_uid"),
+        col("ts").as("p_ts"),
+        round(col("value") * 100).cast("long").as("p_cents")
+      )
+    c.join(
+      p,
+      col("c_uid") === col("p_uid") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr("INTERVAL 2 HOURS")
+    ).select(col("c_uid").as("user_id"), col("c_ts"), col("p_ts"), col("p_cents"))
+  }
+
+  /** Streaming entry: watermark both sides so the engine can discard
+    * interval-join state older than the band.
+    */
+  def attributedPairsStream(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    attributedPairs(
+      clicks.withWatermark("ts", "30 minutes"),
+      purchases.withWatermark("ts", "30 minutes")
+    )
+
+  /** Exactly-once by key: drop duplicate event deliveries. In batch this
+    * is `dropDuplicates(event_id)`; under `readStream` the
+    * `dropDuplicatesWithinWatermark` variant keeps state only for the
+    * watermark horizon — at-least-once sources re-deliver within
+    * seconds-to-minutes, so a 1-hour horizon bounds the state store to
+    * one hour of keys instead of the whole stream's history. Duplicate
+    * rows are full copies, so which representative survives is
+    * unobservable and both paths are deterministic.
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.dropDuplicates("event_id")
+
+  def dedupEventsStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
+
   /** Replay a static parquet file as a file-source stream (test harness):
     * copies the file into a temp dir (the file streaming source lists
     * directories) and reads it with the batch-inferred schema.

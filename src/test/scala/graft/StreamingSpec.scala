@@ -78,6 +78,68 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits the same pairs as the batch join") {
+    val ev = graft.queries.Q.events(spark, Sf0001)
+    val batch = EventPipeline
+      .attributedPairs(ev, ev)
+      .orderBy("user_id", "c_ts", "p_ts")
+      .collect()
+
+    val joined = EventPipeline.attributedPairsStream(
+      EventPipeline.replayAsStream(spark, s"$Sf0001/events.parquet"),
+      EventPipeline.replayAsStream(spark, s"$Sf0001/events.parquet")
+    )
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("attrib_pairs")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("attrib_pairs")
+        .orderBy("user_id", "c_ts", "p_ts")
+        .collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark removes planted re-deliveries like batch dedup") {
+    val ev = graft.queries.Q.events(spark, Sf0001)
+    val dupFile = {
+      // replay corpus = original + every-13th event re-delivered
+      val dir = java.nio.file.Files.createTempDirectory("events-dup")
+      spark.read
+        .parquet(s"$Sf0001/events.parquet")
+        .unionAll(
+          spark.read.parquet(s"$Sf0001/events.parquet").filter(col("event_id") % 13 === 0)
+        )
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(dir.toString)
+      dir.toString + "/" +
+        new java.io.File(dir.toString).list().filter(_.endsWith(".parquet")).head
+    }
+    val expected = ev.count()
+    val q = EventPipeline
+      .dedupEventsStream(EventPipeline.replayAsStream(spark, dupFile))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_events")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_events")
+      assert(streamed.count() == expected)
+      assert(
+        streamed.select(countDistinct(col("event_id"))).collect()(0).getLong(0) == expected
+      )
+    } finally q.stop()
+  }
+
   test("sessionize: sessions are disjoint per user and cover all events") {
     val events = graft.queries.Q.events(spark, Sf0001)
     val sessions = EventPipeline.sessionize(events).cache()
