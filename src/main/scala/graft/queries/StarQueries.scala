@@ -523,6 +523,91 @@ object StarQueries {
            |WHERE p_brand = 'Brand#23' AND 5 * q * cnt < sum_q""".stripMargin
       )),
 
+    // Q22-shape wealthy-inactive customers: acctbal above the positive-
+    // balance average AND no orders at all — a scalar-agg subquery in the
+    // predicate plus NOT EXISTS (anti join). The average comparison is
+    // exact-integer (bal_cents · n > total_cents avoids a double divide
+    // on the predicate edge); declared in SQL so Catalyst plans the
+    // scalar as a 1-row broadcast and the NOT EXISTS as a left-anti.
+    "q22_wealthy_inactive" -> ((s, dir) =>
+      s.sql(
+        s"""WITH bal AS (
+           |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+           |         count(*) AS n
+           |  FROM parquet.`$dir/customer.parquet` WHERE c_acctbal > 0)
+           |SELECT n_name, count(*) AS numcust,
+           |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+           |FROM parquet.`$dir/customer.parquet`
+           |JOIN parquet.`$dir/nation.parquet` ON c_nationkey = n_nationkey
+           |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM bal)
+           |        > (SELECT total_c FROM bal)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM parquet.`$dir/orders.parquet` WHERE o_custkey = c_custkey)
+           |GROUP BY n_name
+           |ORDER BY n_name""".stripMargin
+      )),
+
+    // Exact distributed median of the order value — the operator Spark
+    // lacks natively (percentile_approx is approximate; `percentile` pulls
+    // per-group state). Two-stage bucket-histogram formulation that stays
+    // exact AND distributed:
+    //   stage 1: histogram on $1000 cents-buckets (ONE shuffle on ~1e3
+    //     bucket keys however big the fact table is), cumulative counts
+    //     over the tiny sorted histogram (single-partition window over
+    //     |buckets| rows only — bounded by the value domain, not the data),
+    //     locate the global middle rank(s) → (bucket, in-bucket offset);
+    //   stage 2: rank ONLY inside the 1-2 target buckets (everything else
+    //     pruned by the broadcast semi join) and average the picked rows.
+    // avg() of ≤2 BIGINTs is the same sum/count double op in both engines
+    // → bit-identical; ties inside a bucket are value-equal so row_number
+    // tie order can't change the result.
+    "q_exact_median_order" -> ((s, dir) => {
+      val cents = table(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .withColumn("bkt", expr("c div 100000"))
+      val hist = cents.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window
+        .orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = hist.agg(sum(col("cnt")).as("n"))
+      val targets = hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+        .crossJoin(broadcast(total))
+        .select(
+          col("bkt"),
+          col("cum_prev"),
+          col("cum"),
+          explode(expr("array((n + 1) div 2, (n + 2) div 2)")).as("k")
+        )
+        .filter(col("cum_prev") < col("k") && col("cum") >= col("k"))
+        .select(col("bkt"), (col("k") - col("cum_prev")).as("off"))
+      val wInBkt = Window.partitionBy(col("bkt")).orderBy(col("c"))
+      cents
+        .join(broadcast(targets.select(col("bkt")).distinct()), Seq("bkt"))
+        .withColumn("rn", row_number().over(wInBkt))
+        .join(broadcast(targets), Seq("bkt")) // tiny; re-join to match offsets
+        .filter(col("rn") === col("off"))
+        .agg(round(avg(col("c")) / 100.0, 4).as("median_price"))
+    }),
+
+    // Fixed-width value histogram — the profiling staple: $50k buckets,
+    // top-capped, with per-bucket count and exact cents bounds/mass.
+    // One shuffle on the bucket key; bucketing is integer division so
+    // the oracle is bit-identical.
+    "q_value_histogram" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+        .withColumn("bucket", least(expr("c div 5000000"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min(col("c")).as("min_cents"),
+          max(col("c")).as("max_cents"),
+          sum(col("c")).as("sum_cents")
+        )
+        .orderBy("bucket")),
+
     // Semi/anti in one pass: per-nation counts of customers with and
     // without orders. The distinct custkey set is aggregated before the
     // join (orders-side shrink), then left-joined; nation broadcast.
@@ -792,6 +877,33 @@ object StarQueries {
         |JOIN part ON l_partkey = p_partkey
         |JOIN pq ON partkey = l_partkey
         |WHERE p_brand = 'Brand#23' AND 5 * q * cnt < sum_q""".stripMargin,
+    "q22_wealthy_inactive" ->
+      """WITH bal AS (
+        |  SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_c,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT n_name, count(*) AS numcust,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * (SELECT n FROM bal)
+        |        > (SELECT total_c FROM bal)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    // Single-pass rank formulation — semantically identical to the
+    // two-stage bucket histogram (same middle ranks, same avg).
+    "q_exact_median_order" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c) AS rn, count(*) OVER () AS n FROM c)
+        |SELECT round(avg(c) / 100.0, 4) AS median_price
+        |FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)""".stripMargin,
+    "q_value_histogram" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders)
+        |SELECT least(c // 5000000, 9) AS bucket, count(*) AS n_orders,
+        |  min(c) AS min_cents, max(c) AS max_cents,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_semi_anti_customers" ->
       """SELECT n_name,
         |  count(o_custkey) AS n_with_orders,

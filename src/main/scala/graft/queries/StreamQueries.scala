@@ -76,6 +76,33 @@ object StreamQueries {
         .orderBy("event_type")
     }),
 
+    // Conversion funnel over the event stream (batch form): per user the
+    // FIRST signup / first click-after-signup / first purchase-after-that,
+    // then one global row of stage survivals. One shuffle on user_id (the
+    // per-user firsts are conditional min aggregates — no window, no
+    // self-join), then a single-row final aggregate. Strict `>` ordering
+    // on exact microsecond timestamps — portable.
+    "s_funnel_conversion" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase")
+        )
+        .withColumn(
+          "t_click_after",
+          when(col("t_click") > col("t_signup"), col("t_click"))
+        )
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("t_signup")).as("n_signup"),
+          sum(when(col("t_click_after").isNotNull, 1L).otherwise(0L)).as("n_signup_click"),
+          sum(
+            when(col("t_purchase") > col("t_click_after"), 1L).otherwise(0L)
+          ).as("n_signup_click_purchase")
+        )),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -142,6 +169,18 @@ object StreamQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_funnel_conversion" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+        |    min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT *, CASE WHEN t_click > t_signup THEN t_click END AS t_click_after FROM f)
+        |SELECT count(*) AS n_users, count(t_signup) AS n_signup,
+        |  CAST(sum(CASE WHEN t_click_after IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+        |  CAST(sum(CASE WHEN t_purchase > t_click_after THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click_purchase
+        |FROM g""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
