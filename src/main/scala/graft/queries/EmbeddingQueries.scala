@@ -306,6 +306,37 @@ object EmbeddingQueries {
         .filter(col("cos") >= 0.95)
         .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cosine"))
         .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
+    // Int8-quantized brute-force top-10: normalize, scale to [-127, 127],
+    // round to integers, rank by the INTEGER dot product. At 100 TB this
+    // is the memory-bandwidth play — 8-bit vectors are 4× smaller than
+    // float32 (64 B/vector here), scans are SIMD-friendly, and the
+    // integer scores are exact/associative so ranking is partitioning-
+    // independent (no float-sum order sensitivity). Quantization uses
+    // only IEEE ops both engines share (divide, sqrt, multiply, round) —
+    // the oracle reproduces every int8 code and score bit-identically.
+    // EmbeddingSpec checks recall vs the exact float top-10.
+    "e_int8_quantized_topk" -> ((s, dir) => {
+      val qz = vecs(s, dir)
+        .select(
+          col("vec_id"),
+          expr("transform(v, x -> CAST(round(x / sqrt(nrm) * 127) AS BIGINT))").as("q")
+        )
+      val q = qz
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val c = qz.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))
+      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn(
+          "qdot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        )
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -322,6 +353,19 @@ object EmbeddingQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |      FROM p)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "e_int8_quantized_topk" ->
+      s"""$vecsCte,
+         |qz AS (SELECT vec_id,
+         |         [CAST(round(v[i] / sqrt(nrm) * 127) AS BIGINT) for i in range(1, len(v) + 1)] AS q
+         |       FROM n),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${dotDuck("q.q", "c.q").replace("CAST(0 AS DOUBLE)", "CAST(0 AS BIGINT)")} AS qdot
+         |      FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, qdot,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+         |      FROM p)
+         |SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_ivf_topk" ->
       s"""$vecsCte,

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, RangeJoin, Salting}
 
 /** Driver-visible registrations of the scale-tier join operators
   * (VERDICT r3 "What's missing" #2 — `Salting.saltedJoin` and the
@@ -84,6 +84,57 @@ object OperatorQueries {
         .orderBy("purchase_id")
     }),
 
+    // Keyless interval-overlap join (operators/RangeJoin.scala): per-user
+    // daily activity intervals [first event, last event], then count
+    // overlapping interval pairs across distinct users (co-activity).
+    // Written as a theta join Spark would plan this as a quadratic
+    // nested-loop; the bucketized form is a plain equi-join on 6-hour
+    // buckets with canonical-bucket dedup. Oracle = DuckDB's IEJoin on
+    // the plain overlap predicate.
+    "o_session_overlap_pairs" -> ((s, dir) => {
+      val iv = events(s, dir)
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+        .agg(
+          min(unix_micros(col("ts"))).as("s"),
+          max(unix_micros(col("ts"))).as("e")
+        )
+      val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
+      val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
+      RangeJoin
+        .overlapJoin(l, r, "s1", "e1", "s2", "e2",
+          bucketWidth = 6L * 3600 * 1000000, // 6h buckets ≈ median interval span
+          extraCond = Some(col("u1") < col("u2")))
+        .groupBy(col("u1"), col("u2"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy("u1", "u2")
+    }),
+
+    // Pivot: per-user event matrix — one row per user, one column pair
+    // (count, exact value cents) per event type. The type list is pinned
+    // (no extra distinct-discovery job — at 100 TB that pre-pass is a
+    // full scan); missing (user, type) combos coalesce to 0 on both
+    // engines. One shuffle on user_id.
+    "o_pivot_event_matrix" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents")
+        )
+      pivoted
+        .select(
+          col("user_id") +:
+            types.flatMap(t =>
+              Seq(
+                coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+                coalesce(col(s"${t}_cents"), lit(0L)).as(s"${t}_cents")
+              )): _*
+        )
+        .orderBy("user_id")
+    }),
+
     // Bucketed fact-fact join: write both facts bucketed+sorted on the
     // join key (bucket once), then join the bucketed tables (join many
     // times, zero shuffle — see BucketedJoinSpec for the plan assertion).
@@ -146,6 +197,31 @@ object OperatorQueries {
         |SELECT purchase_id, p.user_id, p_ts, click_id, c_ts AS click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
         |ORDER BY purchase_id""".stripMargin,
+    // The bucketized overlap join must emit each truly-overlapping pair
+    // exactly once: the oracle is the PLAIN quadratic overlap predicate.
+    "o_session_overlap_pairs" ->
+      """WITH iv AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
+        |         min(epoch_us(CAST(ts AS TIMESTAMP))) AS s,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps
+        |FROM iv a JOIN iv b
+        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "o_pivot_event_matrix" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'click'), 0) AS BIGINT) AS click_cents,
+        |  count(*) FILTER (event_type = 'error') AS error_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'error'), 0) AS BIGINT) AS error_cents,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'purchase'), 0) AS BIGINT) AS purchase_cents,
+        |  count(*) FILTER (event_type = 'signup') AS signup_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'signup'), 0) AS BIGINT) AS signup_cents,
+        |  count(*) FILTER (event_type = 'view') AS view_n,
+        |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view'), 0) AS BIGINT) AS view_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // Bucketing must be semantics-preserving: the oracle is the direct join.
     "o_bucketed_join_stats" ->
       s"""SELECT o_orderstatus, count(*) AS n,

@@ -103,6 +103,19 @@ object StreamQueries {
           ).as("n_signup_click_purchase")
         )),
 
+    // Stream-static join in its batch degeneration: enrich events with
+    // the customer dimension (broadcast — zero join state under
+    // readStream), then profile per (event_type, market segment).
+    "s_stream_static_join" -> ((s, dir) =>
+      EventPipeline
+        .enrichBySegment(events(s, dir), table(s, dir, "customer"))
+        .groupBy(col("event_type"), col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents")
+        )
+        .orderBy("event_type", "c_mktsegment")),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -181,6 +194,12 @@ object StreamQueries {
         |  CAST(sum(CASE WHEN t_click_after IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
         |  CAST(sum(CASE WHEN t_purchase > t_click_after THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click_purchase
         |FROM g""".stripMargin,
+    "s_stream_static_join" ->
+      """SELECT event_type, c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events JOIN customer ON user_id = c_custkey - 1
+        |GROUP BY event_type, c_mktsegment
+        |ORDER BY event_type, c_mktsegment""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

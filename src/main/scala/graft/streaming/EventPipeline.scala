@@ -127,6 +127,28 @@ object EventPipeline {
       purchases.withWatermark("ts", "30 minutes")
     )
 
+  /** Stream-static enrichment join: attach a slowly-changing dimension
+    * (customer market segment; `user_id` maps to `c_custkey - 1`) to the
+    * event stream. Under `readStream` a stream-static join needs no
+    * watermark and keeps NO join state — the static side is
+    * (re)broadcast per micro-batch, the canonical pattern for enriching
+    * a firehose with reference data. At 100 TB/day the dim stays a
+    * broadcast as long as it fits an executor (~10s of MB); past that,
+    * pre-partition both sides on the key. The same transform is a plain
+    * broadcast join in batch (DuckDB-oracle-checked by
+    * `s_stream_static_join`).
+    */
+  def enrichBySegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(
+        customers.select(
+          (col("c_custkey") - 1).as("user_id"),
+          col("c_mktsegment")
+        )
+      ),
+      Seq("user_id")
+    )
+
   /** Exactly-once by key: drop duplicate event deliveries. In batch this
     * is `dropDuplicates(event_id)`; under `readStream` the
     * `dropDuplicatesWithinWatermark` variant keeps state only for the

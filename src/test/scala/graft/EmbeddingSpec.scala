@@ -66,4 +66,20 @@ class EmbeddingSpec extends SparkSpecBase {
       .map(_.getAs[Double]("cosine"))
     assert(cosines.forall(_ >= 0.95))
   }
+
+  test("int8-quantized top-10 recalls >= 80% of the exact float top-10") {
+    def topSets(name: String) = EmbeddingQueries
+      .queries(name)(spark, Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+      .toMap
+    val exact = topSets("e_bruteforce_topk")
+    val quant = topSets("e_int8_quantized_topk")
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ex) => (quant(q) & ex).size.toDouble / ex.size }
+    assert(recalls.sum / recalls.size >= 0.8,
+      s"mean recall ${recalls.sum / recalls.size} below 0.8")
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** Bucketized overlap join: exact pair set (vs the naive theta join),
+  * exactly-once emission across buckets, and plan shape.
+  */
+class RangeJoinSpec extends SparkSpecBase {
+
+  private def mkIntervals(n: Int, seed: Long) = {
+    // deterministic pseudo-random closed intervals over [0, 10000) with
+    // lengths 1..~3000 — many span multiple 500-wide buckets
+    spark
+      .range(n)
+      .select(
+        col("id"),
+        (hash(col("id") + seed).cast("long") % 10000 + 10000) % 10000 as "s"
+      )
+      .select(
+        col("id"),
+        col("s"),
+        (col("s") + (hash(col("id") * 31 + seed).cast("long") % 3000 + 3000) % 3000 + 1).as("e")
+      )
+  }
+
+  test("overlapJoin equals the naive theta join, each pair exactly once") {
+    val l = mkIntervals(200, 1).select(col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = mkIntervals(150, 2).select(col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+
+    val got = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 500)
+      .select("lid", "rid")
+
+    val naive = l
+      .join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid")
+
+    // exactly-once: counts must match pairwise, not just as sets
+    val gotCnt = got.groupBy("lid", "rid").count()
+    val naiveCnt = naive.groupBy("lid", "rid").count()
+    assert(gotCnt.except(naiveCnt).isEmpty && naiveCnt.except(gotCnt).isEmpty)
+    assert(got.count() == naive.count())
+  }
+
+  test("extraCond filters inside the join (anti-symmetric self overlap)") {
+    val base = mkIntervals(100, 3)
+    val l = base.select(col("id").as("u1"), col("s").as("s1"), col("e").as("e1"))
+    val r = base.select(col("id").as("u2"), col("s").as("s2"), col("e").as("e2"))
+    val got = RangeJoin
+      .overlapJoin(l, r, "s1", "e1", "s2", "e2", 500, Some(col("u1") < col("u2")))
+      .select("u1", "u2")
+    val naive = l
+      .join(r, col("u1") < col("u2") && col("s1") <= col("e2") && col("s2") <= col("e1"))
+      .select("u1", "u2")
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+    assert(got.count() == naive.count())
+  }
+
+  test("plan is an equi-join on the bucket id, not a nested loop") {
+    val l = mkIntervals(50, 4).select(col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = mkIntervals(50, 5).select(col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+    val plan = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", 500)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

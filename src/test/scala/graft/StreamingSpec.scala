@@ -157,4 +157,37 @@ class StreamingSpec extends SparkSpecBase {
       .count()
     assert(overlaps == 0)
   }
+
+  test("stream-static join converges to the batch broadcast join") {
+    val events = graft.queries.Q.events(spark, Sf0001)
+    val dim = spark.read.parquet(s"$Sf0001/customer.parquet")
+    val batch = EventPipeline
+      .enrichBySegment(events, dim)
+      .groupBy(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "c_mktsegment")
+      .collect()
+
+    val stream = EventPipeline
+      .enrichBySegment(
+        EventPipeline.replayAsStream(spark, s"$Sf0001/events.parquet"),
+        dim
+      )
+      .groupBy(col("event_type"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("seg_counts")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("seg_counts")
+        .orderBy("event_type", "c_mktsegment")
+        .collect()
+      assert(streamed.length == batch.length)
+      assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    } finally q.stop()
+  }
 }
