@@ -178,6 +178,34 @@ object DedupQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The MinHash→LSH-band→exact-verify pair set (shared by
+    * `d_minhash_lsh_pairs` and the cluster resolution).
+    */
+  private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = hashedSets(s, dir)
+    val sigs = sets
+      .withColumn("sig", expr("minhash_sig(hs)"))
+      .select(col("doc_id"), col("sig"))
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(
+        expr(
+          s"transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band, element_at(sig, 2*b+1) * $P + element_at(sig, 2*b+2) AS bkey))"
+        )
+      ).as("bk")
+    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val cand = bands
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(
+        bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    verifyJaccard(cand, sets)
+  }
+
   val queries: Map[String, Fn] = Map(
     // Exact dedup, counts: one hash agg over the corpus.
     "d_exact_dedup_counts" -> ((s, dir) =>
@@ -246,29 +274,52 @@ object DedupQueries {
     }),
 
     // MinHash + LSH banding near-dup: signatures → band join → verify.
-    "d_minhash_lsh_pairs" -> ((s, dir) => {
-      val sets = hashedSets(s, dir)
-      val sigs = sets
-        .withColumn("sig", expr("minhash_sig(hs)"))
-        .select(col("doc_id"), col("sig"))
-      val bands = sigs.select(
-        col("doc_id"),
-        explode(
-          expr(
-            s"transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band, element_at(sig, 2*b+1) * $P + element_at(sig, 2*b+2) AS bkey))"
-          )
-        ).as("bk")
-      ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      val cand = bands
-        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
-        .join(
-          bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
-          Seq("band", "bkey")
-        )
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+    "d_minhash_lsh_pairs" -> ((s, dir) => lshVerifiedPairs(s, dir)),
+
+    // Duplicate-CLUSTER resolution: near-dup pairs are a graph; keeping
+    // one doc per duplicate set needs its connected components, not just
+    // pairs (a–b, b–c must collapse to ONE keeper, not two independent
+    // decisions). Components via min-label propagation: every node
+    // starts as its own rep, each round takes the min rep across
+    // neighbors, stop at fixpoint. Rounds = graph diameter (dup clusters
+    // are shallow — here ≤ 2 hops; web-scale dedup uses the same loop
+    // with the large-star/small-star contraction to bound rounds on
+    // pathological chains). Each round is one join + one groupBy on
+    // doc_id — no driver-side graph, state is (node, rep). The fixpoint
+    // check is a 1-row aggregate (sum of reps, strictly decreasing until
+    // converged). Oracle = DuckDB recursive-CTE transitive closure over
+    // the exact pair set.
+    "d_dup_clusters" -> ((s, dir) => {
+      val edges = lshVerifiedPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      var labels = adj
+        .select(col("a").as("id"))
         .distinct()
-      verifyJaccard(cand, sets)
+        .withColumn("rep", col("id"))
+        .localCheckpoint()
+      var prevSum = Long.MaxValue
+      var curSum = labels.agg(sum(col("rep"))).first().getLong(0)
+      while (curSum < prevSum) {
+        val nbrMin = adj
+          .join(labels, adj("b") === labels("id"))
+          .groupBy(adj("a").as("nid"))
+          .agg(min(col("rep")).as("nrep"))
+        labels = labels
+          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+          .select(
+            col("id"),
+            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")
+          )
+          .localCheckpoint()
+        prevSum = curSum
+        curSum = labels.agg(sum(col("rep"))).first().getLong(0)
+      }
+      labels
+        .groupBy(col("rep").as("cluster"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .orderBy("cluster")
     }),
 
     // SimHash near-dup: 32-bit fingerprints, 4-byte pigeonhole band join
@@ -341,6 +392,29 @@ object DedupQueries {
     // The LSH path must reproduce the exact pair set (verification step
     // + negligible banding miss probability at the threshold).
     "d_minhash_lsh_pairs" -> exactPairsSql,
+    // Components over the exact pair set via recursive-CTE transitive
+    // closure (tiny here; the Spark side is the one built for scale).
+    "d_dup_clusters" ->
+      s"""${corpusCte.replaceFirst("WITH", "WITH RECURSIVE")}
+         |$shingleCte
+         |, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |, pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT)
+         |, e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)
+         |, reach(n, m) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+         |, rep AS (SELECT n AS id, least(n, min(m)) AS rep FROM reach GROUP BY n)
+         |SELECT rep AS cluster, count(*) AS n_docs, max(id) AS max_doc
+         |FROM rep GROUP BY rep ORDER BY cluster""".stripMargin,
     "d_simhash_pairs" ->
       s"""$corpusCte
          |$shingleCte

@@ -28,6 +28,27 @@ object OperatorQueries {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** The date-partitioned events table ("partition once, prune many"),
+    * keyed by source dir like the bucketed tables below.
+    */
+  private[graft] def partitionedEvents(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): org.apache.spark.sql.DataFrame = {
+    val tag = math.abs(dir.hashCode).toString
+    val tbl = s"graft_p_events_$tag"
+    if (!s.catalog.tableExists(tbl)) {
+      dropManagedTable(s, tbl)
+      events(s, dir)
+        .withColumn("event_date", to_date(col("ts")))
+        .write
+        .mode("overwrite")
+        .partitionBy("event_date")
+        .saveAsTable(tbl)
+    }
+    s.table(tbl)
+  }
+
   val queries: Map[String, Fn] = Map(
     // Skew-salted broadcast-free join: every 3rd lineitem is remapped to
     // supplier 1, making one key carry ~a third of the fact table — the
@@ -82,6 +103,29 @@ object OperatorQueries {
           col("asof_c_ts").as("click_ts")
         )
         .orderBy("purchase_id")
+    }),
+
+    // Partition-pruned scan: events written once as a date-partitioned
+    // table (the layout a 100 TB event store would use), then a 3-day
+    // query reads ONLY those partition directories — the scan's
+    // PartitionFilters prune 27 of 30 days before any file is opened
+    // (PartitionPruningSpec asserts the file-level pruning). Oracle =
+    // the same 3-day filter over the unpartitioned parquet.
+    "o_partition_pruned_agg" -> ((s, dir) => {
+      partitionedEvents(s, dir)
+        .filter(col("event_date").between("2024-01-05", "2024-01-07"))
+        .groupBy(col("event_date"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_value_cents")
+        )
+        // ISO string, not DATE: parquet DATE and DuckDB DATE reach the
+        // driver's pandas compare as different dtypes
+        .select(
+          date_format(col("event_date"), "yyyy-MM-dd").as("event_date"),
+          col("event_type"), col("n"), col("sum_value_cents")
+        )
+        .orderBy("event_date", "event_type")
     }),
 
     // Keyless interval-overlap join (operators/RangeJoin.scala): per-user
@@ -197,6 +241,14 @@ object OperatorQueries {
         |SELECT purchase_id, p.user_id, p_ts, click_id, c_ts AS click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
         |ORDER BY purchase_id""".stripMargin,
+    // Pruning must be invisible to results: oracle = the unpartitioned scan.
+    "o_partition_pruned_agg" ->
+      """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS event_date, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The bucketized overlap join must emit each truly-overlapping pair
     // exactly once: the oracle is the PLAIN quadratic overlap predicate.
     "o_session_overlap_pairs" ->

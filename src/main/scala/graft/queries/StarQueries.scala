@@ -323,6 +323,55 @@ object StarQueries {
         .limit(20)
     }),
 
+    // Q20-shape nested semi-join chain: suppliers whose 1995 ship volume
+    // of 'red%' parts exceeds a threshold. Two nested IN subqueries
+    // (parts by name; supplier volume with HAVING) — Catalyst rewrites
+    // both to semi joins: part names filter broadcast-semi-joins into
+    // the lineitem scan, the aggregated-HAVING side semi-joins supplier.
+    // Exact BIGINT quantity sums make the HAVING edge bit-portable.
+    "q20_red_part_suppliers" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT s_name, s_nationkey
+           |FROM parquet.`$dir/supplier.parquet`
+           |WHERE s_suppkey IN (
+           |  SELECT l_suppkey FROM parquet.`$dir/lineitem.parquet`
+           |  WHERE l_partkey IN (
+           |      SELECT p_partkey FROM parquet.`$dir/part.parquet`
+           |      WHERE p_name LIKE 'red%')
+           |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+           |  GROUP BY l_suppkey
+           |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 290)
+           |ORDER BY s_name""".stripMargin
+      )),
+
+    // Q21-shape multi-correlated EXISTS + NOT EXISTS: suppliers who were
+    // the SOLE returner in multi-supplier orders (their line has
+    // returnflag 'R', another supplier shipped in the same order, and no
+    // other supplier's line was returned). Catalyst decorrelates the
+    // EXISTS into a left-semi and the NOT EXISTS into a left-anti join —
+    // three passes over lineitem, all equi-joined on l_orderkey, no
+    // per-order iteration anywhere.
+    "q21_sole_return_supplier" -> ((s, dir) =>
+      s.sql(
+        s"""SELECT s_name, count(*) AS numwait
+           |FROM parquet.`$dir/supplier.parquet`
+           |JOIN parquet.`$dir/lineitem.parquet` l1 ON s_suppkey = l1.l_suppkey
+           |WHERE l1.l_returnflag = 'R'
+           |  AND EXISTS (
+           |    SELECT 1 FROM parquet.`$dir/lineitem.parquet` l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM parquet.`$dir/lineitem.parquet` l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_returnflag = 'R')
+           |GROUP BY s_name
+           |ORDER BY numwait DESC, s_name
+           |LIMIT 20""".stripMargin
+      )),
+
     // Q6-shape forecast revenue change: the one pure scan-aggregate in the
     // suite — no join at all. All three predicates push to the parquet
     // scan (shipdate range, discount band, quantity cap); revenue =
@@ -758,6 +807,35 @@ object StarQueries {
         |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 280)
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q20_red_part_suppliers" ->
+      """SELECT s_name, s_nationkey
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 290)
+        |ORDER BY s_name""".stripMargin,
+    "q21_sole_return_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "q2_min_cost_supplier" ->
       """WITH ps AS (
         |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,

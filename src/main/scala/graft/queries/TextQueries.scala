@@ -316,10 +316,35 @@ object TextQueries {
           max(col("n_chars")).as("max_chars"),
           count_distinct(col("source")).as("n_sources")
         )
+        .orderBy("lang")),
+
+    // Exact length quantiles per language (R-7 linear interpolation —
+    // Spark `percentile` and DuckDB `quantile_cont` share the formula
+    // (n-1)*p with double arithmetic on exactly-converted BIGINT inputs,
+    // so the quantiles are bit-identical). Exact percentile needs the
+    // per-group values collected — fine while groups fit an executor; at
+    // 100 TB switch to percentile_approx (t-digest, mergeable partial
+    // aggs) and trade the oracle for a tolerance check.
+    "t_doclen_quantiles" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          expr("percentile(n_chars, 0.25)").as("p25"),
+          expr("percentile(n_chars, 0.5)").as("p50"),
+          expr("percentile(n_chars, 0.75)").as("p75"),
+          expr("percentile(n_chars, 0.95)").as("p95")
+        )
         .orderBy("lang"))
   )
 
   val oracle: Map[String, String] = Map(
+    "t_doclen_quantiles" ->
+      """SELECT lang,
+        |  quantile_cont(n_chars, 0.25) AS p25,
+        |  quantile_cont(n_chars, 0.5) AS p50,
+        |  quantile_cont(n_chars, 0.75) AS p75,
+        |  quantile_cont(n_chars, 0.95) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t_token_counts" ->
       s"""SELECT doc_id,
          |  len(string_split(text, ' ')) AS n_ws_tokens,
