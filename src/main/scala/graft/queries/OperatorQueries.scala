@@ -128,25 +128,33 @@ object OperatorQueries {
         .orderBy("event_date", "event_type")
     }),
 
-    // Keyless interval-overlap join (operators/RangeJoin.scala): per-user
-    // daily activity intervals [first event, last event], then count
-    // overlapping interval pairs across distinct users (co-activity).
-    // Written as a theta join Spark would plan this as a quadratic
-    // nested-loop; the bucketized form is a plain equi-join on 6-hour
-    // buckets with canonical-bucket dedup. Oracle = DuckDB's IEJoin on
-    // the plain overlap predicate.
+    // Keyless interval-overlap join (operators/RangeJoin.scala) composed
+    // over sessionization: 30-min-gap sessions become [start, end]
+    // intervals, then count co-active session pairs across distinct
+    // users. Written as a theta join Spark would plan this as a
+    // quadratic nested-loop; the bucketized form is a plain equi-join
+    // on 30-min buckets (≈ median session span) with canonical-bucket
+    // dedup. Oracle = DuckDB's IEJoin on the plain overlap predicate
+    // over gaps-and-islands sessions. (An earlier per-day-interval
+    // variant produced a near-complete overlap graph — 17M pairs at
+    // sf0.1 — measuring output materialization, not the join.)
     "o_session_overlap_pairs" -> ((s, dir) => {
-      val iv = events(s, dir)
-        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
-        .agg(
-          min(unix_micros(col("ts"))).as("s"),
-          max(unix_micros(col("ts"))).as("e")
+      // both join sides consume the same session frame — materialize it
+      // once (alias-renamed subtrees defeat ReuseExchange, as in
+      // DedupQueries.hashedSets)
+      val iv = graft.streaming.EventPipeline
+        .sessionize(events(s, dir))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e")
         )
+        .localCheckpoint()
       val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
       val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
-          bucketWidth = 6L * 3600 * 1000000, // 6h buckets ≈ median interval span
+          bucketWidth = 30L * 60 * 1000000,
           extraCond = Some(col("u1") < col("u2")))
         .groupBy(col("u1"), col("u2"))
         .agg(count(lit(1)).as("n_overlaps"))
@@ -252,11 +260,18 @@ object OperatorQueries {
     // The bucketized overlap join must emit each truly-overlapping pair
     // exactly once: the oracle is the PLAIN quadratic overlap predicate.
     "o_session_overlap_pairs" ->
-      """WITH iv AS (
-        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS d,
-        |         min(epoch_us(CAST(ts AS TIMESTAMP))) AS s,
-        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS e
-        |  FROM events GROUP BY 1, 2)
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (SELECT user_id, ts,
+        |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                  < INTERVAL '30 minutes' THEN 0 ELSE 1 END AS is_new
+        |      FROM ev),
+        |g AS (SELECT user_id, ts,
+        |        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |iv AS (SELECT user_id, epoch_us(min(ts)) AS s,
+        |              epoch_us(max(ts) + INTERVAL '30 minutes') AS e
+        |       FROM g GROUP BY user_id, sid)
         |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps
         |FROM iv a JOIN iv b
         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e

@@ -36,7 +36,17 @@ object StarQueries {
     (round(col("l_extendedprice") * 100).cast("long") *
       round((lit(1) - col("l_discount")) * 100).cast("long"))
 
-  /** SQL mirror of [[revUnits]]. */
+  /** SQL mirror of [[revUnits]].
+    *
+    * Overflow note (ADVICE r3): DuckDB sums BIGINT into HUGEINT and
+    * `CAST(... AS BIGINT)` RAISES past 2^63, while Spark's non-ANSI Long
+    * sum wraps silently — so at scale factors where a charge sum nears
+    * 2^63 (~9.2e18, i.e. ~9e12 dollars of e6-units — around TPC-H
+    * sf ~1000 for a single group) the oracle errors out rather than
+    * reporting a comparable mismatch. Fine at the sf0.1 bench scale; the
+    * documented 100 TB switch is decimal(38,6) on the Spark side (see
+    * q1), which matches DuckDB's HUGEINT sums exactly.
+    */
   private val revUnitsSql =
     "CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)"
 
@@ -161,6 +171,24 @@ object StarQueries {
           col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first
         )),
+
+    // GROUPING SETS — the general form behind rollup/cube: three chosen
+    // aggregation levels (status × priority, priority alone, grand
+    // total) in ONE pass (Spark expands the sets into a single Expand +
+    // hash aggregate — one shuffle, not one job per level).
+    // grouping_id() disambiguates levels whose key columns are NULL.
+    "q_grouping_sets_orders" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+          |  count(*) AS n_orders,
+          |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+          |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+      )
+    }),
 
     // Q7-shape volume shipping between two nation pairs: the customer and
     // supplier nation joins are both broadcast; the pair predicate rides
@@ -748,6 +776,14 @@ object StarQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_grouping_sets_orders" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+         |  count(*) AS n_orders,
+         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
          |  CAST(year(l_shipdate) AS INT) AS l_year,

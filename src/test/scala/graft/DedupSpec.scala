@@ -57,4 +57,34 @@ class DedupSpec extends SparkSpecBase {
     val exactPairs = (0L until 500L by 7).map(i => (i, i + 2000000L)).toSet
     assert(exactPairs.subsetOf(pairs)) // identical docs: hamming 0
   }
+
+  test("dup clusters equal union-find components of the verified pair graph") {
+    val pairs = DedupQueries
+      .queries("d_minhash_lsh_pairs")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference components via driver-side union-find on the tiny test graph
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys
+      .groupBy(find)
+      .map { case (rep, ms) => (rep, ms.size.toLong, ms.max) }
+      .toSet
+
+    val clusters = DedupQueries
+      .queries("d_dup_clusters")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(clusters == expected)
+    // transitive merging really happened: some chain has >= 3 members
+    assert(clusters.exists(_._2 >= 3))
+  }
 }
