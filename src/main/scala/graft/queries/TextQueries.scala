@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, hashedNgramsDuck, hashedNgramsSpark}
+import graft.functions.TextFeatures.{charHashDuck, charHashSpark, hashedNgramsDuck, hashedNgramsSpark}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -318,6 +318,37 @@ object TextQueries {
         )
         .orderBy("lang")),
 
+    // Deterministic content-hash split: every doc lands in train/val/test
+    // by rolling-hash(text) mod 100 (80/10/10) — the reproducible-holdout
+    // assignment a training pipeline needs (stable across engines, runs,
+    // partitionings, and re-ingestion, unlike rand()-based sampling;
+    // near-dup copies of a doc hash identically, so a dedup pass must
+    // still run first — split assignment is per-byte-content only).
+    // Embarrassingly parallel: one codegen projection, one tiny agg.
+    "t_hash_split" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          (expr(charHashSpark("text")) % 100).as("h")
+        )
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          when(col("h") < 80, "train")
+            .when(col("h") < 90, "val")
+            .otherwise("test")
+            .as("split")
+        )
+        .groupBy(col("split"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc")
+        )
+        .orderBy("split")),
+
     // Exact length quantiles per language (R-7 linear interpolation —
     // Spark `percentile` and DuckDB `quantile_cont` share the formula
     // (n-1)*p with double arithmetic on exactly-converted BIGINT inputs,
@@ -338,6 +369,19 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_hash_split" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |             ${charHashDuck("text")} % 100 AS hh
+         |           FROM documents),
+         |sp AS (SELECT doc_id, n_chars,
+         |         CASE WHEN hh < 80 THEN 'train'
+         |              WHEN hh < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |       FROM h)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     "t_doclen_quantiles" ->
       """SELECT lang,
         |  quantile_cont(n_chars, 0.25) AS p25,
