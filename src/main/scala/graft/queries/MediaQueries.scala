@@ -27,7 +27,30 @@ object MediaQueries {
       Media
         .frameSamplePlan(Media.blobs(s, dir))
         .select(col("media_id"), size(col("frame_indices")).as("n_frames"))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // Exact binary dedup: duplicate payloads (re-crawled images, mirrored
+    // videos) found by content digest — at 100 TB the digest computes in
+    // the scan projection and ONLY the 16-byte hash shuffles, never the
+    // blob. Planted copies of every 7th blob; groups by md5 over the raw
+    // bytes (payload is UTF-8 text, so the oracle's md5(text) hashes the
+    // identical byte stream).
+    "m_binary_dedup" -> ((s, dir) => {
+      val b = Media
+        .blobs(s, dir)
+        .toDF()
+        .select(col("media_id"), col("content"))
+      val withCopies = b.unionAll(
+        b.filter(col("media_id") % 7 === 0)
+          .select((col("media_id") + 2000000L).as("media_id"), col("content"))
+      )
+      withCopies
+        .groupBy(md5(col("content")).as("content_md5"))
+        .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(col("content_md5"), col("keeper"), col("n_copies"))
+        .orderBy("keeper")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -50,6 +73,15 @@ object MediaQueries {
     "m_frame_sample_plan" ->
       """SELECT doc_id AS media_id,
         |  CAST((CAST(floor((2000 + (doc_id % 8000)) / (1000 / 24)) AS INT) // 10) + 1 AS INT) AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    "m_binary_dedup" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS media_id, text FROM documents
+        |  WHERE doc_id % 7 = 0)
+        |SELECT md5(text) AS content_md5, min(media_id) AS keeper,
+        |       count(*) AS n_copies
+        |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin
   )
 }
