@@ -349,6 +349,52 @@ object TextQueries {
         )
         .orderBy("split")),
 
+    // Language rebalancing via stratified hash sampling: en is
+    // over-represented (~44% of the corpus), so sample it at 10% and the
+    // rest at 50% — the corpus-mixing step of a multilingual training
+    // pipeline. Selection is content-hash thresholding (deterministic,
+    // engine/partitioning-independent; no rand()), so the sample is
+    // reproducible and the oracle sees the identical subset. One scan,
+    // no shuffle until the tiny per-lang aggregate.
+    "t_stratified_sample" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .withColumn("hh", expr(charHashSpark("text")) % 1000)
+        .filter(
+          col("hh") < when(col("lang") === "en", 100).otherwise(500)
+        )
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).as("sampled_chars"),
+          min(col("doc_id")).as("min_doc")
+        )
+        .orderBy("lang")),
+
+    // Document chunking: fixed 64-token windows at stride 48 (16-token
+    // overlap) — the pretraining/RAG chunk plan. Pure per-row expansion
+    // (sequence + explode in one codegen projection): no shuffle, no
+    // state; at 100 TB this runs embarrassingly parallel in the scan
+    // stage. Emits (doc, chunk ordinal, token bounds); the actual
+    // substring materialization would ride the same explode.
+    "t_chunk_plan" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")
+        )
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          explode(expr("sequence(0L, greatest(n_tokens - 1, 0L), 48L)")).as("chunk_start")
+        )
+        .select(
+          col("doc_id"),
+          (col("chunk_start") / 48).cast("long").as("chunk_idx"),
+          col("chunk_start"),
+          least(col("chunk_start") + 64, col("n_tokens")).as("chunk_end")
+        )
+        .orderBy("doc_id", "chunk_idx")),
+
     // Exact length quantiles per language (R-7 linear interpolation —
     // Spark `percentile` and DuckDB `quantile_cont` share the formula
     // (n-1)*p with double arithmetic on exactly-converted BIGINT inputs,
@@ -369,6 +415,24 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_stratified_sample" ->
+      s"""WITH h AS (SELECT doc_id, lang, n_chars,
+         |             ${charHashDuck("text")} % 1000 AS hh
+         |           FROM documents)
+         |SELECT lang, count(*) AS n_sampled,
+         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+         |  min(doc_id) AS min_doc
+         |FROM h
+         |WHERE hh < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_chunk_plan" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        unnest(range(0, greatest(n_tokens - 1, 0) + 1, 48)) AS chunk_start
+        |      FROM d)
+        |SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
+        |       least(chunk_start + 64, n_tokens) AS chunk_end
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "t_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars,
          |             ${charHashDuck("text")} % 100 AS hh
