@@ -26,9 +26,14 @@ import org.apache.spark.sql.functions._
 object EmbeddingQueries {
   import Q._
 
-  /** Spark: sequential-fold dot product of two DOUBLE-array columns. */
+  /** Spark: sequential-fold dot product of two DOUBLE-array columns —
+    * the native codegen `vec_dot` expression (SketchExpressions.VecDot),
+    * bit-identical to the builtin `aggregate(zip_with(...))` fold it
+    * replaced (same left-fold order, proven in SketchExpressionsSpec) but
+    * one fused loop instead of ~2·dim interpreted lambda calls per pair.
+    */
   private def dotSpark(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"vec_dot($a, $b)"
 
   /** DuckDB mirror of [[dotSpark]] (same element order ⇒ same double). */
   private def dotDuck(a: String, b: String): String =
@@ -83,13 +88,15 @@ object EmbeddingQueries {
   }
 
   /** vectors as DOUBLE arrays + squared norm. */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
     table(s, dir, "embeddings")
       .select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")
       )
       .withColumn("nrm", expr(dotSpark("v", "v")))
+  }
 
   private val vecsCte =
     s"""WITH e AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
@@ -99,6 +106,7 @@ object EmbeddingQueries {
     * every 20th vector (planted pairs at cosine ≥ 0.97; natural max ~0.51).
     */
   private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
     val base = table(s, dir, "embeddings")
       .select(
         col("vec_id"),

@@ -39,4 +39,32 @@ class SketchExpressionsSpec extends SparkSpecBase {
       .count()
     assert(diff == 0)
   }
+
+  test("vec_dot equals the builtin zip_with/aggregate fold bit-for-bit") {
+    graft.functions.SketchExpressions.register(spark)
+    // adversarial doubles: mixed magnitudes where float addition order
+    // matters — the native loop must reproduce the exact left-fold sum
+    val vecs = spark
+      .range(2000)
+      .selectExpr(
+        "transform(sequence(0, 63), i -> CAST(sin(id * 64 + i) * pow(10.0, CAST(i % 7 AS DOUBLE) - 3.0) AS DOUBLE)) AS a",
+        "transform(sequence(0, 63), i -> CAST(cos(id * 64 + i) * pow(10.0, CAST(i % 5 AS DOUBLE) - 2.0) AS DOUBLE)) AS b"
+      )
+    val diff = vecs
+      .select(
+        expr("vec_dot(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("builtin")
+      )
+      .filter(col("native") =!= col("builtin")) // exact double compare
+      .count()
+    assert(diff == 0)
+  }
+
+  test("vec_dot is null on length mismatch, like zip_with null-padding") {
+    graft.functions.SketchExpressions.register(spark)
+    val r = spark
+      .sql("SELECT vec_dot(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS d")
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
 }
