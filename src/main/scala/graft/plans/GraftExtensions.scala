@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharRollingHash, MinHashSig, SimHash32}
+import graft.functions.{CharRollingHash, MinHashSig, SimHash32, VecDot}
 
 /** Session-extension entry point: `--conf
   * spark.sql.extensions=graft.plans.GraftExtensions` registers the
@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("simhash32"),
         new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
         (children: Seq[Expression]) => SimHash32(children.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+        (children: Seq[Expression]) => VecDot(children(0), children(1))
       )
     )
   }

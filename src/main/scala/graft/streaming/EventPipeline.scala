@@ -164,6 +164,35 @@ object EventPipeline {
   def dedupEventsStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent micro-batch writer: the exactly-once file-sink pattern
+    * for `foreachBatch`. Output is partitioned by batch epoch and each
+    * write OVERWRITES its own epoch partition (dynamic partition
+    * overwrite), so a replayed micro-batch — the at-least-once case
+    * after a failure between sink write and checkpoint commit — replaces
+    * its previous attempt instead of appending duplicates. At 100 TB
+    * this is how a streaming ETL lands in a lake: partition by
+    * epoch/window, overwrite-by-partition, readers see each batch once.
+    */
+  def idempotentEpochWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, epochId: Long) =>
+      batch
+        .withColumn("epoch", lit(epochId))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch")
+        .parquet(outDir)
+
+  /** Streaming entry: windowed counts land exactly-once in `outDir`. */
+  def windowedCountsToParquet(
+      events: DataFrame,
+      outDir: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedCountsStream(events).writeStream
+      .outputMode("update")
+      .foreachBatch(idempotentEpochWriter(outDir))
+      .start()
+
   /** Replay a static parquet file as a file-source stream (test harness):
     * copies the file into a temp dir (the file streaming source lists
     * directories) and reads it with the batch-inferred schema.
