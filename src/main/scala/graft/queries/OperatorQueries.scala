@@ -105,6 +105,27 @@ object OperatorQueries {
         .orderBy("purchase_id")
     }),
 
+    // Custom grouped-top-k operator (plans/GroupedTopK.scala — logical
+    // node + strategy + partial/final SparkPlans): top-3 orders per
+    // customer WITHOUT the window formulation's full-table shuffle+sort;
+    // the partial stage's bounded heaps cap the exchange at 3 rows per
+    // (customer, input partition). Oracle = the row_number() window
+    // form in DuckDB; GroupedTopKSpec asserts the plan shape.
+    "o_grouped_topk_orders" -> ((s, dir) =>
+      graft.plans.GroupedTopK
+        .topK(
+          table(s, dir, "orders"),
+          Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+          k = 3
+        )
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          cents(col("o_totalprice")).as("totalprice_cents")
+        )
+        .orderBy(col("o_custkey"), col("totalprice_cents").desc, col("o_orderkey"))),
+
     // Partition-pruned scan: events written once as a date-partitioned
     // table (the layout a 100 TB event store would use), then a 3-day
     // query reads ONLY those partition directories — the scan's
@@ -249,6 +270,17 @@ object OperatorQueries {
         |SELECT purchase_id, p.user_id, p_ts, click_id, c_ts AS click_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.c_ts
         |ORDER BY purchase_id""".stripMargin,
+    // The heap operator must equal the window formulation exactly.
+    "o_grouped_topk_orders" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, totalprice_cents
+        |FROM r WHERE rnk <= 3
+        |ORDER BY o_custkey, totalprice_cents DESC, o_orderkey""".stripMargin,
     // Pruning must be invisible to results: oracle = the unpartitioned scan.
     "o_partition_pruned_agg" ->
       """SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d') AS event_date, event_type,

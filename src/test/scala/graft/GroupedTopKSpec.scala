@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.GroupedTopK
+
+/** Custom grouped-top-k operator: result equivalence with the window
+  * formulation, partial/final plan shape, and bounded shuffle.
+  */
+class GroupedTopKSpec extends SparkSpecBase {
+
+  private def orders = spark.read.parquet(s"$Sf0001/orders.parquet")
+
+  test("topK equals the row_number window formulation (total order)") {
+    val got = GroupedTopK
+      .topK(
+        orders,
+        Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3
+      )
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val expected = orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
+  test("plan is partial heap -> exchange -> final heap, no window sort") {
+    val df = GroupedTopK.topK(
+      orders,
+      Seq("o_custkey"),
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3
+    )
+    df.collect() // finalize the AQE plan before inspecting it
+    // AQE prints Final and Initial plans; inspect the final one only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // SparkPlan.nodeName strips the Exec suffix: two GroupedTopK nodes
+    // (partial + final) with the ENSURE_REQUIREMENTS exchange between
+    // them, and no per-group window sort anywhere
+    assert("GroupedTopK".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"))
+    assert(!plan.contains("Window"))
+    assert(plan.indexOf("GroupedTopK") < plan.indexOf("Exchange hashpartitioning"))
+  }
+
+  test("k larger than every group returns all rows") {
+    val small = orders.limit(200)
+    val got = GroupedTopK
+      .topK(small, Seq("o_custkey"), Seq(col("o_orderkey").asc), k = 1000)
+      .count()
+    assert(got == 200)
+  }
+}
