@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, charHashSpark, hashedNgramsDuck, hashedNgramsSpark}
+import graft.functions.TextFeatures.{charHashDuck, hashedNgramsDuck, hashedNgramsSpark}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -325,12 +325,16 @@ object TextQueries {
     // near-dup copies of a doc hash identically, so a dedup pass must
     // still run first — split assignment is per-byte-content only).
     // Embarrassingly parallel: one codegen projection, one tiny agg.
-    "t_hash_split" -> ((s, dir) =>
+    "t_hash_split" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
       table(s, dir, "documents")
         .select(
           col("doc_id"),
           col("n_chars"),
-          (expr(charHashSpark("text")) % 100).as("h")
+          // native codegen char hash (bit-identical to the builtin fold,
+          // CharRollingHashSpec) — the lambda form costs one interpreted
+          // closure call per character
+          (expr("char_rolling_hash(text)") % 100).as("h")
         )
         .select(
           col("doc_id"),
@@ -347,7 +351,8 @@ object TextQueries {
           min(col("doc_id")).as("min_doc"),
           max(col("doc_id")).as("max_doc")
         )
-        .orderBy("split")),
+        .orderBy("split")
+    }),
 
     // Language rebalancing via stratified hash sampling: en is
     // over-represented (~44% of the corpus), so sample it at 10% and the
@@ -356,9 +361,10 @@ object TextQueries {
     // engine/partitioning-independent; no rand()), so the sample is
     // reproducible and the oracle sees the identical subset. One scan,
     // no shuffle until the tiny per-lang aggregate.
-    "t_stratified_sample" -> ((s, dir) =>
+    "t_stratified_sample" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
       table(s, dir, "documents")
-        .withColumn("hh", expr(charHashSpark("text")) % 1000)
+        .withColumn("hh", expr("char_rolling_hash(text)") % 1000)
         .filter(
           col("hh") < when(col("lang") === "en", 100).otherwise(500)
         )
@@ -368,7 +374,8 @@ object TextQueries {
           sum(col("n_chars")).as("sampled_chars"),
           min(col("doc_id")).as("min_doc")
         )
-        .orderBy("lang")),
+        .orderBy("lang")
+    }),
 
     // Document chunking: fixed 64-token windows at stride 48 (16-token
     // overlap) — the pretraining/RAG chunk plan. Pure per-row expansion
