@@ -60,4 +60,32 @@ class GroupedTopKSpec extends SparkSpecBase {
       .count()
     assert(got == 200)
   }
+
+  test("property: equals the window formulation on random skewed data, several seeds and ks") {
+    val session = spark
+    import session.implicits._
+    for (seed <- Seq(7L, 42L, 1234L); k <- Seq(1, 2, 5)) {
+      val rnd = new scala.util.Random(seed)
+      // skewed keys (hot key 0), duplicate order values to stress ties,
+      // sizes around the heap capacity
+      val data = (0 until 3000).map { i =>
+        val key = if (rnd.nextInt(3) == 0) 0L else rnd.nextInt(40).toLong
+        (key, rnd.nextInt(25).toLong, i.toLong)
+      }
+      val df = data.toDF("k", "v", "uid").repartition(7)
+      val got = GroupedTopK
+        .topK(df, Seq("k"), Seq(col("v").desc, col("uid").asc), k)
+        .select("k", "v", "uid")
+      val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("uid").asc)
+      val expected = df
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("k", "v", "uid")
+      assert(
+        got.count() == expected.count() &&
+          got.except(expected).isEmpty && expected.except(got).isEmpty,
+        s"mismatch at seed=$seed k=$k"
+      )
+    }
+  }
 }
