@@ -105,6 +105,46 @@ object Media {
     }
   }
 
+  final case class PooledMedia(
+      media_id: Long,
+      modality: String,
+      n_samples: Int,
+      n_pooled: Int,
+      mean_pooled: Double,
+      max_pooled: Double
+  )
+
+  /** Resize/downsample: 4× box-filter pooling over the decoded sample
+    * stream (the audio-downsample / image-thumbnail shape). Pooling runs
+    * on integer window sums (exact, order-free) and divides once at the
+    * end — the doubles are bit-identical in the DuckDB oracle. Same
+    * `mapPartitions` batching as [[extractFeatures]]; a real codec slots
+    * into the same decoder boundary.
+    */
+  def resizePool(blobs: Dataset[MediaBlob], factor: Int = 4): Dataset[PooledMedia] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val windowSums = b.content
+          .grouped(factor)
+          .map(_.map(x => (x & 0xff).toLong).sum)
+          .toArray
+        val total = windowSums.sum
+        val scale = factor * 256.0
+        PooledMedia(
+          b.media_id,
+          b.modality,
+          b.content.length,
+          windowSums.length,
+          // half-up at 6 digits (values are positive), matching DuckDB's
+          // round(x, 6) — math.rint would tie-to-even and diverge
+          math.floor(total.toDouble / scale / windowSums.length * 1e6 + 0.5) / 1e6,
+          math.floor(windowSums.max.toDouble / scale * 1e6 + 0.5) / 1e6
+        )
+      }
+    }
+  }
+
   /** Frame-sampling plan for video blobs: every `stride`-th frame index up
     * to the (metadata-declared) frame count — a metadata-only transform
     * that never deserializes the payload.

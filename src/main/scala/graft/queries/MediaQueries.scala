@@ -29,6 +29,15 @@ object MediaQueries {
         .select(col("media_id"), size(col("frame_indices")).as("n_frames"))
         .orderBy("media_id")),
 
+    // Resize/downsample: 4x box-filter pooling over the decoded samples
+    // (audio downsample / thumbnail shape) — integer window sums, one
+    // division at the end, half-up rounding mirrored by the oracle.
+    "m_resize_pool" -> ((s, dir) =>
+      Media
+        .resizePool(Media.blobs(s, dir))
+        .toDF()
+        .orderBy("media_id")),
+
     // Exact binary dedup: duplicate payloads (re-crawled images, mirrored
     // videos) found by content digest — at 100 TB the digest computes in
     // the scan projection and ONLY the 16-byte hash shuffles, never the
@@ -74,6 +83,22 @@ object MediaQueries {
       """SELECT doc_id AS media_id,
         |  CAST((CAST(floor((2000 + (doc_id % 8000)) / (1000 / 24)) AS INT) // 10) + 1 AS INT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    "m_resize_pool" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  len(cps) AS n_samples,
+        |  [list_sum(cps[i:i+3]) for i in range(1, len(cps) + 1, 4)] AS ws
+        |  FROM t)
+        |SELECT doc_id AS media_id, modality,
+        |  CAST(n_samples AS INT) AS n_samples,
+        |  CAST(len(ws) AS INT) AS n_pooled,
+        |  round(CAST(list_sum(ws) AS DOUBLE) / 1024.0 / len(ws), 6) AS mean_pooled,
+        |  round(CAST(list_aggregate(ws, 'max') AS DOUBLE) / 1024.0, 6) AS max_pooled
+        |FROM w ORDER BY media_id""".stripMargin,
     "m_binary_dedup" ->
       """WITH b AS (
         |  SELECT doc_id AS media_id, text FROM documents
