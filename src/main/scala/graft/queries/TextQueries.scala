@@ -402,6 +402,29 @@ object TextQueries {
         )
         .orderBy("doc_id", "chunk_idx")),
 
+    // Per-source contribution cap — the corpus-mixing rule "no single
+    // source dominates": keep the 15 longest docs per source (doc_id
+    // tie-break), report the capped per-source footprint. Runs on the
+    // custom GroupedTopK operator (plans/GroupedTopK.scala) with a
+    // STRING grouping key: bounded heaps map-side, ≤15 rows per
+    // (source, partition) in the shuffle — the window form would
+    // shuffle the whole corpus.
+    "t_source_cap" -> ((s, dir) =>
+      graft.plans.GroupedTopK
+        .topK(
+          table(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          k = 15
+        )
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("n_chars")).as("min_kept_chars")
+        )
+        .orderBy("source")),
+
     // Exact length quantiles per language (R-7 linear interpolation —
     // Spark `percentile` and DuckDB `quantile_cont` share the formula
     // (n-1)*p with double arithmetic on exactly-converted BIGINT inputs,
@@ -422,6 +445,17 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "t_source_cap" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id) AS rnk
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  min(n_chars) AS min_kept_chars
+        |FROM r WHERE rnk <= 15
+        |GROUP BY source ORDER BY source""".stripMargin,
     "t_stratified_sample" ->
       s"""WITH h AS (SELECT doc_id, lang, n_chars,
          |             ${charHashDuck("text")} % 1000 AS hh
