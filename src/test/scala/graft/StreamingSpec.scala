@@ -218,4 +218,88 @@ class StreamingSpec extends SparkSpecBase {
       assert(n > 0)
     } finally q.stop()
   }
+
+  test("late data beyond the watermark is dropped from already-finalized windows") {
+    val ev = graft.queries.Q.events(spark, Sf0001)
+    // phase A: the full month of events; phase B: day-1 replays arriving
+    // AFTER the watermark has advanced to day 30 — weeks late
+    val bounds = ev.agg(min(col("ts")), max(col("ts"))).collect()(0)
+    val (minTs, maxTs) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val late = ev
+      .filter(col("ts") < lit(new java.sql.Timestamp(minTs.getTime + 24L * 3600 * 1000)))
+      .withColumn("event_id", col("event_id") + 10000000L)
+    assert(late.count() > 0)
+
+    val streamDir = java.nio.file.Files.createTempDirectory("late-replay")
+    def writeAs(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("late-part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files
+        .list(tmp)
+        .filter(f => f.toString.endsWith(".parquet"))
+        .findFirst()
+        .get()
+      val dest = streamDir.resolve(name)
+      java.nio.file.Files.copy(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // phase order matters: the mid file runs a batch under the advanced
+    // watermark so the day-1 windows FINALIZE (emit + state eviction)
+    // before the late replays arrive in phase 3
+    val mid = ev
+      .filter(col("ts") >= lit(new java.sql.Timestamp(maxTs.getTime - 3600 * 1000)))
+      .withColumn("event_id", col("event_id") + 20000000L)
+    val now = System.currentTimeMillis()
+    writeAs(ev, "part-0.parquet", now - 120000)
+    writeAs(mid, "part-1.parquet", now - 60000)
+    writeAs(late, "part-2.parquet", now)
+
+    val schema = spark.read.parquet(s"$streamDir/part-0.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    // APPEND mode: a window is emitted exactly once, when the watermark
+    // passes its end — later arrivals for it are dropped, which is the
+    // contract under test (update mode would re-open still-held state)
+    val q = EventPipeline
+      .windowedCountsStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("late_counts")
+      .outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark
+        .table("late_counts")
+        .select("window_start", "event_type", "n_events", "sum_value_cents")
+        .orderBy("window_start", "event_type")
+        .collect()
+      // expected: the WITHOUT-late batch result, restricted to windows
+      // the final watermark (maxTs - 30min) has finalized
+      val wm = new java.sql.Timestamp(maxTs.getTime - 30 * 60 * 1000)
+      // mid-phase rows touch only the last hour — never a finalized
+      // window — so the finalized set must match the plain batch over ev
+      val withoutLate = EventPipeline
+        .windowedCountsCents(ev)
+        .filter(col("window_end") <= lit(wm))
+        .select("window_start", "event_type", "n_events", "sum_value_cents")
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(streamed.nonEmpty)
+      // append-once: no (window, type) may be emitted twice — a late row
+      // recreating evicted state would re-emit its window as a duplicate
+      val keys = streamed.map(r => (r.getTimestamp(0), r.getString(1)))
+      assert(keys.distinct.length == keys.length)
+      assert(streamed.toSeq == withoutLate.toSeq)
+      // sanity: had the late rows been accepted, day-1 windows would differ
+      assert(
+        EventPipeline
+          .windowedCountsCents(ev.unionByName(late))
+          .except(EventPipeline.windowedCountsCents(ev))
+          .count() > 0
+      )
+    } finally q.stop()
+  }
 }
