@@ -248,6 +248,25 @@ object ParityQueries {
         (abs(col("n_approx") - col("n_exact")).cast("double") / col("n_exact") <= 0.05)
           .as("approx_within_5pct")
       )
+    }),
+
+    // Mergeable distinct sketches — the incremental pattern HLL++ can't
+    // do (approx_count_distinct yields a number, not a mergeable state):
+    // per-segment DataSketches HLL sketches, persisted as binary, then
+    // hll_union_agg'd into a global estimate. At 100 TB this is how
+    // distincts are maintained per partition/day and rolled up without
+    // rescanning. The sketched domain (25 nation keys) stays far inside
+    // the sketch's sparse regime, where HLL is EXACT at any scale factor
+    // — so the estimate hash-matches the oracle's plain count(DISTINCT).
+    "a3_hll_mergeable_sketches" -> ((s, dir) => {
+      val per = table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(expr("hll_sketch_agg(c_nationkey)").as("sk"))
+      per.agg(
+        count(lit(1)).as("n_groups"),
+        expr("CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)")
+          .as("merged_distinct_nations")
+      )
     })
   )
 
@@ -273,6 +292,10 @@ object ParityQueries {
       |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a3_hll_mergeable_sketches" ->
+      """SELECT count(DISTINCT c_mktsegment) AS n_groups,
+        |  count(DISTINCT c_nationkey) AS merged_distinct_nations
+        |FROM customer""".stripMargin,
     "s2_mock_users" ->
       s"""${Q.MockUsersCte}
          |$mockUsersSelect
