@@ -381,16 +381,21 @@ object TextQueries {
     // overlap) — the pretraining/RAG chunk plan. Pure per-row expansion
     // (sequence + explode in one codegen projection): no shuffle, no
     // state; at 100 TB this runs embarrassingly parallel in the scan
-    // stage. Emits (doc, chunk ordinal, token bounds); the actual
-    // substring materialization would ride the same explode.
-    "t_chunk_plan" -> ((s, dir) =>
+    // stage. Emits (doc, chunk ordinal, token bounds) plus the chunk
+    // CONTENT materialized as its rolling-hash fingerprint — the real
+    // chunk text rides the same slice, fingerprinted here so the output
+    // stays narrow and the oracle exact.
+    "t_chunk_plan" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
       table(s, dir, "documents")
         .select(
           col("doc_id"),
+          split(col("text"), " ").as("ws"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")
         )
         .select(
           col("doc_id"),
+          col("ws"),
           col("n_tokens"),
           explode(expr("sequence(0L, greatest(n_tokens - 1, 0L), 48L)")).as("chunk_start")
         )
@@ -398,9 +403,12 @@ object TextQueries {
           col("doc_id"),
           (col("chunk_start") / 48).cast("long").as("chunk_idx"),
           col("chunk_start"),
-          least(col("chunk_start") + 64, col("n_tokens")).as("chunk_end")
+          least(col("chunk_start") + 64, col("n_tokens")).as("chunk_end"),
+          expr("char_rolling_hash(array_join(slice(ws, CAST(chunk_start + 1 AS INT), 64), ' '))")
+            .as("chunk_fp")
         )
-        .orderBy("doc_id", "chunk_idx")),
+        .orderBy("doc_id", "chunk_idx")
+    }),
 
     // Per-source contribution cap — the corpus-mixing rule "no single
     // source dominates": keep the 15 longest docs per source (doc_id
@@ -466,14 +474,18 @@ object TextQueries {
          |FROM h
          |WHERE hh < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
-    "t_chunk_plan" ->
-      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
-        |c AS (SELECT doc_id, n_tokens,
-        |        unnest(range(0, greatest(n_tokens - 1, 0) + 1, 48)) AS chunk_start
-        |      FROM d)
-        |SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
-        |       least(chunk_start + 64, n_tokens) AS chunk_end
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "t_chunk_plan" -> {
+      val chunkText = "array_to_string(ws[CAST(chunk_start + 1 AS BIGINT):CAST(chunk_start + 64 AS BIGINT)], ' ')"
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
+         |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, ws, n_tokens,
+         |        unnest(range(0, greatest(n_tokens - 1, 0) + 1, 48)) AS chunk_start
+         |      FROM d)
+         |SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
+         |       least(chunk_start + 64, n_tokens) AS chunk_end,
+         |       ${charHashDuck(chunkText)} AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
     "t_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars,
          |             ${charHashDuck("text")} % 100 AS hh
