@@ -16,15 +16,18 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * built-ins can't express the efficient plan).
   *
   * The composable formulation — `row_number() OVER (PARTITION BY key
-  * ORDER BY ord) <= k` — shuffles EVERY row to its key's reducer and
-  * sorts whole groups, just to throw away all but k: at 100 TB that plan
-  * moves the full fact table through one exchange. This operator runs
-  * the aggregation-style two-phase shape instead: a PARTIAL pass keeps a
-  * bounded heap of k best rows per key per input partition (memory
-  * O(keys·k) per task, no sort), the exchange then carries AT MOST
-  * k·partitions rows per key, and the FINAL pass merges heaps per key.
-  * Same exactly-once result (ties broken by the caller's total order),
-  * shuffle volume k·P/|group| of the window plan's.
+  * ORDER BY ord) <= k` — gets a partial `WindowGroupLimit` from Spark
+  * 3.5+'s `InferWindowGroupLimit`, so its shuffle is bounded too. What
+  * the window plan still pays is SORTING: a full O(n log n) sort of
+  * every input partition before the partial limit, and a second sort
+  * reduce-side (`GroupedTopKSpec` measures both plans: equal bounded
+  * shuffle records, two Sort nodes vs zero). This operator runs the
+  * aggregation-style two-phase shape with bounded HEAPS instead: the
+  * PARTIAL pass keeps the k best rows per key per input partition
+  * (memory O(keys·k) per task, O(n log k) heap updates, no sort), the
+  * exchange carries at most k·partitions rows per key, and the FINAL
+  * pass merges heaps per key. Same exactly-once result (ties broken by
+  * the caller's total order), no sort anywhere.
   *
   * Physical mechanics mirror HashAggregate partial/final: the final
   * node's `requiredChildDistribution = ClusteredDistribution(keys)` lets

@@ -88,4 +88,56 @@ class GroupedTopKSpec extends SparkSpecBase {
       )
     }
   }
+
+  test("measured: heap shuffle is bounded and the plan needs no sort at all") {
+    val session = spark
+    import session.implicits._
+    // 200K rows, 500 keys, 8 input partitions: the window form must
+    // shuffle every row; the heap form at most k*keys*partitions
+    val big = spark
+      .range(200000)
+      .select((col("id") % 500).as("k"), (col("id") * 31 % 9973).as("v"), col("id").as("uid"))
+      .repartition(8)
+      .localCheckpoint() // pin the input: measured plans contain ONLY their own exchange
+
+    def shuffledRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // AQE prunes query-stage children — recurse into each stage's plan
+      def allExchanges(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike] =
+        p.collect {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allExchanges(q.plan)
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+            Seq(s) ++ allExchanges(s.child)
+        }.flatten
+      allExchanges(finalPlan)
+        .map(_.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L))
+        .sum
+    }
+
+    val topkDf =
+      GroupedTopK.topK(big, Seq("k"), Seq(col("v").desc, col("uid").asc), 3).select("k", "v", "uid")
+    val topkShuffled = shuffledRecords(topkDf)
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc, col("uid").asc)
+    val windowDf =
+      big.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3).select("k", "v", "uid")
+    val windowShuffled = shuffledRecords(windowDf)
+
+    // both plans bound the shuffle to ~k*keys*partitions — Spark 3.5+'s
+    // InferWindowGroupLimit gives the window form a partial group-limit
+    // too (credit where due). The operator's measured edge is the SORT:
+    // the window plan full-sorts every input partition (200K rows,
+    // O(n log n)) before its partial limit, then sorts again reduce-side;
+    // the heap operator never sorts anything (O(n log k) heap updates).
+    assert(topkShuffled <= 3L * 500 * 8, s"topk shuffled $topkShuffled")
+    assert(windowShuffled <= 4L * 500 * 8, s"window shuffled $windowShuffled")
+    def finalPlanString(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Sort ".r.findAllIn(finalPlanString(windowDf)).size >= 2)
+    assert(!finalPlanString(topkDf).contains("Sort "))
+  }
 }
