@@ -41,5 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => VecDot(children(0), children(1))
       )
     )
+    // the GroupedTopK physical strategy, cluster-wide (GroupedTopK.topK
+    // also self-registers per-session for extension-less deployments)
+    ext.injectPlannerStrategy(_ => new GroupedTopKStrategy)
   }
 }

@@ -172,6 +172,26 @@ object StarQueries {
           col("o_orderpriority").asc_nulls_first
         )),
 
+    // SQL set operations: customers active in BOTH 1995 and 1996
+    // (INTERSECT) who then churned — no orders in 1997+ (EXCEPT).
+    // Catalyst plans INTERSECT as a left-semi and EXCEPT as a left-anti
+    // join over the deduplicated key sets; each branch's year predicate
+    // pushes to its own scan.
+    "q_setops_churned" -> ((s, dir) =>
+      s.sql(
+        s"""(SELECT o_custkey FROM parquet.`$dir/orders.parquet`
+           | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           |   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           | INTERSECT
+           | SELECT o_custkey FROM parquet.`$dir/orders.parquet`
+           | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+           |EXCEPT
+           |SELECT o_custkey FROM parquet.`$dir/orders.parquet`
+           | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |ORDER BY o_custkey""".stripMargin
+      )),
+
     // GROUPING SETS — the general form behind rollup/cube: three chosen
     // aggregation levels (status × priority, priority alone, grand
     // total) in ONE pass (Spark expands the sets into a single Expand +
@@ -776,6 +796,18 @@ object StarQueries {
          |FROM orders
          |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_setops_churned" ->
+      """(SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        | INTERSECT
+        | SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_custkey""".stripMargin,
     "q_grouping_sets_orders" ->
       s"""SELECT o_orderstatus, o_orderpriority,
          |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
