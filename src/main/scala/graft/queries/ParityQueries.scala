@@ -110,6 +110,37 @@ object ParityQueries {
         .orderBy("id")
     }),
 
+    // K1 round-trip: the CSV the engine WRITES must re-Extract losslessly —
+    // write the flattened mock users through the real sink (quoteAll +
+    // quote-doubling, incl. an injected `"` field) and read the files
+    // back with spark.read.csv; every field must survive byte-for-byte.
+    // Oracle = the mock CTE directly: a user of the reference can Load
+    // with this engine and re-ingest the artifact with either engine.
+    "k1_csv_roundtrip" -> ((s, _) => {
+      val users = graft.sources.MockUserSource
+        .users(s)
+      val tagged = Normalize
+        .flattenForCsv(users)
+        .withColumn(
+          "name_first",
+          concat(lit("He said \""), col("name_first"), lit("\""))
+        )
+      val dir = java.nio.file.Files.createTempDirectory("k1-roundtrip").toString
+      val out = tagged.coalesce(1)
+      out.write
+        .mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(dir)
+      s.read
+        .option("header", "true")
+        .option("escape", "\"")
+        .csv(dir)
+        .select(Sinks.CsvHeader.map(col): _*)
+        .orderBy("id")
+    }),
+
     // P6 — URL domain extraction with raw-string fallback (index.js:437-444).
     "p6_domain_extract" -> ((s, dir) =>
       table(s, dir, "documents")
@@ -362,6 +393,17 @@ object ParityQueries {
          |  concat_ws(',', ${quoted.mkString(", ")}) AS line
          |FROM u ORDER BY id""".stripMargin
     },
+    // Round-trip must be lossless: the oracle is the mock source itself.
+    "k1_csv_roundtrip" ->
+      s"""${Q.MockUsersCte}
+         |SELECT concat('mock-id-', i) AS id,
+         |  concat('He said "', first, '"') AS name_first,
+         |  last AS name_last,
+         |  lower(concat(first, '.', last, '@example.com')) AS email,
+         |  concat('555-0101-', ${Q.padIndexSql("i")}) AS phone,
+         |  country, city,
+         |  concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z') AS registered_date
+         |FROM u ORDER BY id""".stripMargin,
     "p6_domain_extract" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN 'not a url'
