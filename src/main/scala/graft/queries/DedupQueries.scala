@@ -294,10 +294,12 @@ object DedupQueries {
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .localCheckpoint()
       val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      // init fused with round 1: rep = min(self, min neighbor) — one
+      // aggregate instead of a distinct + a join round
       var labels = adj
-        .select(col("a").as("id"))
-        .distinct()
-        .withColumn("rep", col("id"))
+        .groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("rep"))
+        .select(col("a").as("id"), col("rep"))
         .localCheckpoint()
       var prevSum = Long.MaxValue
       var curSum = labels.agg(sum(col("rep"))).first().getLong(0)
