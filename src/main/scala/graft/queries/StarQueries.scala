@@ -302,15 +302,20 @@ object StarQueries {
     // state, VERDICT r3 #6). At 100 TB: ps is one shuffle of lineitem on
     // (partkey, suppkey); the decorrelated min-agg reuses ps; dims are
     // broadcast; the result is LIMIT-bounded.
-    "q2_min_cost_supplier" -> ((s, dir) =>
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      // the derived part-supplier frame feeds both the outer query and
+      // the correlated scalar subquery — CTE inlining would run the
+      // lineitem aggregate twice, so materialize it once (the
+      // decorrelation under test is the correlated min over ps2, which
+      // is untouched)
+      table(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"), col("l_suppkey").as("suppkey"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT) / l_quantity")).as("cost"))
+        .localCheckpoint()
+        .createOrReplaceTempView("q2_ps")
       s.sql(
-        s"""WITH ps AS (
-           |  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-           |         min(CAST(round(l_extendedprice * 100) AS BIGINT) / l_quantity) AS cost
-           |  FROM parquet.`$dir/lineitem.parquet`
-           |  GROUP BY 1, 2)
-           |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.cost AS min_cost
-           |FROM ps
+        s"""SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name, ps.cost AS min_cost
+           |FROM q2_ps ps
            |JOIN parquet.`$dir/part.parquet` p ON p.p_partkey = ps.partkey
            |JOIN parquet.`$dir/supplier.parquet` s ON s.s_suppkey = ps.suppkey
            |JOIN parquet.`$dir/nation.parquet` n ON n.n_nationkey = s.s_nationkey
@@ -318,14 +323,15 @@ object StarQueries {
            |WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
            |  AND ps.cost = (
            |    SELECT min(ps2.cost)
-           |    FROM ps ps2
+           |    FROM q2_ps ps2
            |    JOIN parquet.`$dir/supplier.parquet` s2 ON s2.s_suppkey = ps2.suppkey
            |    JOIN parquet.`$dir/nation.parquet` n2 ON n2.n_nationkey = s2.s_nationkey
            |    JOIN parquet.`$dir/region.parquet` r2 ON r2.r_regionkey = n2.n_regionkey
            |    WHERE ps2.partkey = ps.partkey AND r2.r_name = 'EUROPE')
            |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
            |LIMIT 100""".stripMargin
-      )),
+      )
+    }),
 
     // Q4-shape order-priority check via EXISTS: declared as a correlated
     // EXISTS subquery; Catalyst's RewritePredicateSubquery plans it as a
