@@ -69,4 +69,21 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("intervals with negative bounds join exactly (floor bucketing, not truncation)") {
+    // bounds straddle 0: truncate-toward-zero bucketing would make the
+    // bucket at 0 twice as wide and double-count or miss pairs there
+    val l = mkIntervals(120, 6)
+      .select(col("id").as("lid"), (col("s") - 5000).as("ls"), (col("e") - 5000).as("le"))
+    val r = mkIntervals(90, 7)
+      .select(col("id").as("rid"), (col("s") - 5000).as("rs"), (col("e") - 5000).as("re"))
+    val got = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 500)
+      .select("lid", "rid")
+    val naive = l
+      .join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid")
+    assert(got.count() == naive.count())
+    assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
+  }
 }
