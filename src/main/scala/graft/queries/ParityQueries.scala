@@ -78,6 +78,48 @@ object ParityQueries {
         )
     }),
 
+    // K2 round-trip: the run envelope the engine WRITES must re-Extract —
+    // serialize via Sinks.jsonEnvelope, re-read with spark.read.json
+    // (schema-on-read over the nested users array), explode the users and
+    // project identity fields beside the envelope metrics. Oracle = the
+    // mock source the run is built from.
+    "k2_json_roundtrip" -> ((s, _) => {
+      val r = Pipeline.run(s)
+      val metricsDf = s
+        .range(1)
+        .select(
+          lit(r.metrics.getAs[Long]("totalUsers")).as("totalUsers"),
+          lit(r.metrics.getAs[Long]("countries")).as("countries")
+        )
+      val env = Sinks.jsonEnvelope(
+        Normalize.flattenForCsv(r.users),
+        metricsDf,
+        r.fallbackUsed,
+        r.sourceUrl,
+        "2026-01-01T00:00:00Z" // pinned: wall-clock is not oracle-able
+      )
+      val dir = java.nio.file.Files.createTempDirectory("k2-roundtrip")
+      java.nio.file.Files.write(dir.resolve("envelope.json"), env.getBytes("UTF-8"))
+      s.read
+        .option("multiLine", "true")
+        .json(dir.toString)
+        .select(
+          explode(col("users")).as("u"),
+          col("metrics.totalUsers").as("totalUsers"),
+          col("metrics.countries").as("countries"),
+          col("fallbackUsed")
+        )
+        .select(
+          col("u.id").as("id"),
+          col("u.email").as("email"),
+          col("u.registered_date").as("registered_date"),
+          col("totalUsers"),
+          col("countries"),
+          col("fallbackUsed")
+        )
+        .orderBy("id")
+    }),
+
     // A8 — measured pipeline duration (etl.json:8 faked it; we measure).
     // Not SQL-expressible → rows-only check (no oracle entry).
     "a8_duration_sec" -> ((s, _) => {
@@ -393,6 +435,15 @@ object ParityQueries {
          |  concat_ws(',', ${quoted.mkString(", ")}) AS line
          |FROM u ORDER BY id""".stripMargin
     },
+    "k2_json_roundtrip" ->
+      s"""${Q.MockUsersCte}
+         |SELECT concat('mock-id-', i) AS id,
+         |  lower(concat(first, '.', last, '@example.com')) AS email,
+         |  concat(strftime(reg, '%Y-%m-%dT%H:%M:%S.%g'), 'Z') AS registered_date,
+         |  CAST(50 AS BIGINT) AS totalUsers,
+         |  CAST(3 AS BIGINT) AS countries,
+         |  CAST(1 AS BOOLEAN) AS fallbackUsed
+         |FROM u ORDER BY id""".stripMargin,
     // Round-trip must be lossless: the oracle is the mock source itself.
     "k1_csv_roundtrip" ->
       s"""${Q.MockUsersCte}
