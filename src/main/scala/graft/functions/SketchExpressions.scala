@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   */
 
 /** 64-hash MinHash signature: sig_i = min over tokens of
-  * ((1+2i)·h + 17+101i) mod P — TextFeatures.minhashSigSpark semantics.
+  * (a_i·h + b_i) mod P with the seeded-random affine family of
+  * TextFeatures.minhashA/B — TextFeatures.minhashSigSpark semantics.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -35,13 +36,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     if (n == 0) return null
+    val a = TextFeatures.minhashAArr
+    val b = TextFeatures.minhashBArr
     val sig = Array.fill(TextFeatures.NumHashes)(Long.MaxValue)
     var k = 0
     while (k < n) {
       val h = arr.getLong(k)
       var i = 0
       while (i < TextFeatures.NumHashes) {
-        val v = ((1 + 2 * i) * h + (17 + 101 * i)) % TextFeatures.P
+        val v = (a(i) * h + b(i)) % TextFeatures.P
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -62,6 +65,8 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
         val v = ctx.freshName("v")
         val nh = TextFeatures.NumHashes
         val p = TextFeatures.P
+        val aRef = ctx.addReferenceObj("minhashA", TextFeatures.minhashAArr, "long[]")
+        val bRef = ctx.addReferenceObj("minhashB", TextFeatures.minhashBArr, "long[]")
         s"""
            |if ($c.numElements() == 0) {
            |  ${ev.isNull} = true;
@@ -71,7 +76,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
            |  for (int $k = 0; $k < $c.numElements(); $k++) {
            |    long $h = $c.getLong($k);
            |    for (int $i = 0; $i < $nh; $i++) {
-           |      long $v = ((1L + 2L*$i) * $h + (17L + 101L*$i)) % ${p}L;
+           |      long $v = ($aRef[$i] * $h + $bRef[$i]) % ${p}L;
            |      if ($v < $sig[$i]) $sig[$i] = $v;
            |    }
            |  }

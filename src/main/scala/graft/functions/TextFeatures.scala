@@ -71,15 +71,42 @@ object TextFeatures {
   def hashedNgramsDuck(wh: String, n: Int): String =
     s"CASE WHEN len($wh) < $n THEN [list_reduce(list_prepend(CAST(0 AS BIGINT), $wh), (acc, h) -> (acc * 31 + h) % $P)] ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), ($wh)[i:i+${n - 1}]), (acc, h) -> (acc * 31 + h) % $P) for i in range(1, len($wh) - ${n - 2})] END"
 
-  /** Spark: 64-hash MinHash signature over a BIGINT-array column `hs` of
-    * shingle hashes. h_i(x) = ((1+2i)·x + 17+101i) mod P, min per i.
+  /** MinHash family constants: 64 RANDOM affine functions
+    * h_i(x) = (a_i·x + b_i) mod P from a fixed-seed PRNG. An earlier
+    * arithmetic-ramp family (a_i = 1+2i, b_i = 17+101i) was correlated
+    * across i — any affine map of consecutive indices is a ramp — and at
+    * sf0.1 a true 0.7-Jaccard pair missed ALL 32 LSH bands (the same
+    * failure class as round 2's ramp-generated LSH planes). Independent
+    * random coefficients restore the j^2-per-band independence the
+    * 4e-10 miss bound assumes. a_i < 2^33 keeps a_i·x + b_i < 2^63 for
+    * x < P.
     */
-  def minhashSigSpark(hs: String): String =
-    s"transform(sequence(0, ${NumHashes - 1}), i -> array_min(transform($hs, h -> ((1 + 2*i) * h + (17 + 101*i)) % $P)))"
+  lazy val (minhashA, minhashB): (IndexedSeq[Long], IndexedSeq[Long]) = {
+    val rnd = new scala.util.Random(727272L)
+    val a = IndexedSeq.fill(NumHashes)(1L + rnd.nextLong((1L << 33) - 1))
+    val b = IndexedSeq.fill(NumHashes)(rnd.nextLong(P))
+    (a, b)
+  }
+
+  /** Java-callable copies for generated code. */
+  def minhashAArr: Array[Long] = minhashA.toArray
+  def minhashBArr: Array[Long] = minhashB.toArray
+
+  /** Spark: 64-hash MinHash signature over a BIGINT-array column `hs` of
+    * shingle hashes. h_i(x) = (a_i·x + b_i) mod P, min per i.
+    */
+  def minhashSigSpark(hs: String): String = {
+    val aArr = minhashA.mkString("array(", "L, ", "L)")
+    val bArr = minhashB.mkString("array(", "L, ", "L)")
+    s"transform(sequence(0, ${NumHashes - 1}), i -> array_min(transform($hs, h -> (element_at($aArr, i + 1) * h + element_at($bArr, i + 1)) % $P)))"
+  }
 
   /** DuckDB mirror of [[minhashSigSpark]]. */
-  def minhashSigDuck(hs: String): String =
-    s"[list_min([((1 + 2*i) * h + (17 + 101*i)) % $P for h in $hs]) for i in range(0, $NumHashes)]"
+  def minhashSigDuck(hs: String): String = {
+    val aArr = minhashA.mkString("[", ", ", "]")
+    val bArr = minhashB.mkString("[", ", ", "]")
+    s"[list_min([(($aArr)[i + 1] * h + ($bArr)[i + 1]) % $P for h in $hs]) for i in range(0, $NumHashes)]"
+  }
 
   /** Spark: 32-bit SimHash fingerprint over shingle-hash array `hs`:
     * bit j = sign of Σ_tokens (±1 by bit j of the token hash).
