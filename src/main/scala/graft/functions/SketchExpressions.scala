@@ -160,7 +160,11 @@ case class SimHash32(child: Expression) extends UnaryExpression {
   * (same sequential left-fold order ⇒ same IEEE sum, so the DuckDB
   * oracle mirror is unchanged), but without the ~2n interpreted lambda
   * invocations and the intermediate product array per row. Null on
-  * length mismatch, mirroring zip_with's null-padding semantics.
+  * length mismatch, mirroring zip_with's null-padding semantics, and
+  * null when either array holds a null element — the builtin fold's
+  * `acc + NULL` poisons the whole sum to NULL, so we must too
+  * (ADVICE r4: getDouble over a null slot would otherwise return an
+  * undefined number and silently diverge from the oracle).
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -175,6 +179,7 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -194,9 +199,10 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
            |} else {
            |  double $acc = 0.0;
            |  for (int $i = 0; $i < $a.numElements(); $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |    $acc += $a.getDouble($i) * $b.getDouble($i);
            |  }
-           |  ${ev.value} = $acc;
+           |  if (!${ev.isNull}) { ${ev.value} = $acc; }
            |}
          """.stripMargin
       }

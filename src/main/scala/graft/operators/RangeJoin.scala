@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  /** `floor(x / w)` as a LONG bucket id. Double division is exact here for
-    * |x| < 2^53 * w (epoch-micros workloads are ~1.7e15, far inside).
+  /** `floor(x / w)` as a LONG bucket id, in exact integer arithmetic:
+    * `(x - pmod(x, w)) div w`. The numerator is an exact multiple of `w`
+    * (pmod is the non-negative remainder), so the integral divide is the
+    * exact floor quotient for the FULL long range — unlike
+    * `floor(x / w)` via double division, whose quotient ulp exceeds 1
+    * once |x| ≳ 2^52 and can misbucket boundary values (ADVICE r4).
     */
   private def bucketOf(c: Column, w: Long): Column =
-    floor(c / lit(w)).cast("long")
+    call_function("div", c - pmod(c, lit(w)), lit(w))
 
   /** Overlap join of two interval sets: returns all (left, right) row
     * pairs with `lStart <= rEnd && rStart <= lEnd` (closed intervals),

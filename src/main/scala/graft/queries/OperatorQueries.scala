@@ -28,14 +28,35 @@ object OperatorQueries {
     if (fs.exists(path)) fs.delete(path, true)
   }
 
+  /** Fingerprint of a parquet path: dir + total byte length + max mtime of
+    * its files. A regenerated source under the SAME path gets a new tag, so
+    * the cached partitioned/bucketed copy is rebuilt instead of silently
+    * reused stale (ADVICE r4). `toHexString` also avoids the
+    * `abs(Int.MinValue) < 0` edge of the old `math.abs(hashCode)` tag.
+    */
+  private def sourceTag(s: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var len = 0L
+    var mtime = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      len += f.getLen
+      mtime = math.max(mtime, f.getModificationTime)
+    }
+    java.lang.Integer.toHexString(path.hashCode) + "_" +
+      java.lang.Long.toHexString(len) + "_" + java.lang.Long.toHexString(mtime)
+  }
+
   /** The date-partitioned events table ("partition once, prune many"),
-    * keyed by source dir like the bucketed tables below.
+    * keyed by a source-content fingerprint like the bucketed tables below.
     */
   private[graft] def partitionedEvents(
       s: org.apache.spark.sql.SparkSession,
       dir: String
   ): org.apache.spark.sql.DataFrame = {
-    val tag = math.abs(dir.hashCode).toString
+    val tag = sourceTag(s, s"$dir/events.parquet")
     val tbl = s"graft_p_events_$tag"
     if (!s.catalog.tableExists(tbl)) {
       dropManagedTable(s, tbl)
@@ -218,9 +239,11 @@ object OperatorQueries {
       // source dir and reused when already in this session's catalog, so
       // repeated calls (bench reps, repeated queries in a session) pay
       // the one-time bucketing cost once and then measure what bucketing
-      // buys — the shuffle-free join. Table names carry the dir tag so a
-      // scale-factor switch can never serve stale buckets.
-      val tag = math.abs(dir.hashCode).toString
+      // buys — the shuffle-free join. Table names carry a source-content
+      // fingerprint so neither a scale-factor switch nor a regenerated
+      // source under the same path can serve stale buckets.
+      val tag = sourceTag(s, s"$dir/orders.parquet") + "_" +
+        sourceTag(s, s"$dir/lineitem.parquet")
       val ordT = s"graft_b_orders_$tag"
       val liT = s"graft_b_lineitem_$tag"
       if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(liT)) {

@@ -64,7 +64,10 @@ object StreamQueries {
     // event_id, then profiled per type. Streaming path =
     // `dropDuplicatesWithinWatermark` (StreamingSpec).
     "s_dedup_within_watermark" -> ((s, dir) => {
-      val ev = events(s, dir)
+      // Project FIRST: dedupEvents dedups by all-columns-as-grouping-keys
+      // (see its scaladoc — grouping keys can't be column-pruned), so the
+      // narrow frame keeps the scan and the exchange at 3 columns.
+      val ev = events(s, dir).select("event_id", "event_type", "value")
       val redelivered = ev.unionAll(ev.filter(col("event_id") % 13 === 0))
       EventPipeline
         .dedupEvents(redelivered)

@@ -67,4 +67,29 @@ class SketchExpressionsSpec extends SparkSpecBase {
       .collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("vec_dot is null when either array holds a null element, like the builtin fold") {
+    graft.functions.SketchExpressions.register(spark)
+    // codegen path (whole-stage over a range) AND interpreted path (collect
+    // of a literal select) must both poison to NULL, matching
+    // aggregate(zip_with(...)) where acc + NULL = NULL (ADVICE r4).
+    val sql =
+      """SELECT
+        |  vec_dot(array(1.0d, CAST(NULL AS DOUBLE), 3.0d), array(1.0d, 2.0d, 3.0d)) AS a,
+        |  vec_dot(array(1.0d, 2.0d), array(1.0d, CAST(NULL AS DOUBLE))) AS b,
+        |  aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d),
+        |            (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS builtin
+        |""".stripMargin
+    val r = spark.sql(sql).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    // and through a non-literal (codegen'd projection over parquet-less range)
+    val rows = spark
+      .range(4)
+      .selectExpr(
+        "vec_dot(array(CAST(id AS DOUBLE), IF(id = 2, CAST(NULL AS DOUBLE), 1.0d)), array(1.0d, 1.0d)) AS d"
+      )
+      .collect()
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filterNot(_.isNullAt(0)).map(_.getDouble(0)).sorted.sameElements(Array(1.0, 2.0, 4.0)))
+  }
 }
