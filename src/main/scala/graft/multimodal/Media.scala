@@ -1,21 +1,34 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * The real decode step (JPEG→pixels, PCM→samples, container→frames)
-  * needs native codec libraries that are NOT in this container, so
-  * [[Media.StubDecoder]] is a clearly-marked deterministic fake. What IS
-  * real and tested: the schema (binary + metadata struct), the
-  * `Dataset[MediaBlob]` encoders, the partition-batched processing shape
-  * (`mapPartitions` — the Scala analog of `mapInPandas`: one iterator per
-  * partition, amortized per-batch setup, no per-row JVM↔native churn),
-  * and the downstream feature computations (byte histograms, checksums,
-  * frame sampling), which operate on the raw bytes and are
-  * oracle-checkable.
+  * The IMAGE path is REAL end-to-end: the corpus builder synthesizes
+  * genuine PNG payloads (`javax.imageio` — JDK-builtin, no native deps)
+  * and [[Media.ImageIoDecoder]] decodes them back to pixel samples, so
+  * `m_media_features`/`m_resize_pool` compute real pixel statistics
+  * through a real codec. PNG is lossless and the pixels are a
+  * deterministic function of the source text, so the DuckDB oracle can
+  * still predict every decoded value. Audio/video decode (PCM, container
+  * demux) still needs native codec libraries that are NOT in this
+  * container, so those modalities keep the clearly-marked
+  * [[Media.StubDecoder]] fake (one sample per payload byte).
+  *
+  * What is real and tested for every modality: the schema (binary +
+  * metadata struct), the `Dataset[MediaBlob]` encoders, the
+  * partition-batched processing shape (`mapPartitions` — the Scala analog
+  * of `mapInPandas`: one iterator per partition, amortized per-batch
+  * setup, no per-row JVM↔native churn), and the downstream feature
+  * computations (sample histograms, rolling checksums, box-filter
+  * pooling, frame sampling).
   *
   * Scale: blobs stay opaque end-to-end (no driver collect); decode
   * parallelism = partition count; metadata-only transforms (resize specs,
@@ -33,33 +46,112 @@ object Media {
   final case class MediaFeatures(
       media_id: Long,
       modality: String,
-      n_bytes: Int,
+      n_samples: Int,
+      width: Int,
+      height: Int,
       checksum: Long,
-      feature_dim: Int,
       top_bin: Int
   )
 
+  /** A decoded payload: the raw sample stream in [0, 1) plus the decoded
+    * geometry (0×0 for non-spatial modalities).
+    */
+  final case class Decoded(samples: Array[Double], width: Int, height: Int)
+
   /** Pluggable decoder boundary. `decode` turns the opaque payload into a
-    * raw sample array; real implementations would call image/audio codecs.
+    * raw sample array; real implementations call image/audio codecs.
     */
   trait Decoder extends Serializable {
-    def decode(content: Array[Byte], meta: MediaMeta): Array[Double]
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded
   }
 
-  /** STUB — deterministic fake standing in for the native codec, which is
-    * unavailable in this container. It maps each payload byte to [0, 1),
-    * which keeps the full pipeline (batching, feature extraction,
-    * checksums) executable and reproducible.
+  /** STUB — deterministic fake standing in for the native audio/video
+    * codecs, which are unavailable in this container. It maps each payload
+    * byte to [0, 1), which keeps the full pipeline (batching, feature
+    * extraction, checksums) executable and reproducible. Geometry is
+    * whatever the metadata declares.
     */
   object StubDecoder extends Decoder {
-    def decode(content: Array[Byte], meta: MediaMeta): Array[Double] =
-      content.map(b => (b & 0xff) / 256.0)
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded =
+      Decoded(content.map(b => (b & 0xff) / 256.0), meta.width, meta.height)
   }
 
-  /** Deterministic media corpus synthesized from `documents`: the text
-    * bytes become the opaque payload; modality and metadata derive from
-    * doc_id. (Real deployments read the binary column straight from
-    * parquet — this stands in for that scan.)
+  /** REAL image decoder: `javax.imageio` PNG/BMP/JPEG decode to grayscale
+    * samples in [0, 1). Reads raster band 0 directly (`getSample`), NOT
+    * `getRGB` — raster access returns the stored 8-bit gray levels with no
+    * color-space/gamma conversion, so an 8-bit gray PNG round-trips
+    * bit-exactly and the oracle can predict every sample.
+    */
+  object ImageIoDecoder extends Decoder {
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded = {
+      val img = ImageIO.read(new ByteArrayInputStream(content))
+      require(img != null, s"undecodable image payload (${content.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      val samples = new Array[Double](w * h)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          samples(i) = raster.getSample(x, y, 0) / 256.0
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      Decoded(samples, w, h)
+    }
+  }
+
+  /** Default routing decoder: real codec where one exists (images via the
+    * JDK), stub elsewhere — the seam where audio/PCM and video/demux
+    * decoders slot in once their libraries are available.
+    */
+  object ModalityDecoder extends Decoder {
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded =
+      if (meta.mime.startsWith("image/") && meta.mime != "image/fake")
+        ImageIoDecoder.decode(content, meta)
+      else StubDecoder.decode(content, meta)
+  }
+
+  /** Image geometry for the synthesized corpus: height fixed at 32, width
+    * 32–63 varying by id. Mirrored literally in the DuckDB oracles.
+    */
+  def imageWidth(id: Long): Int = 32 + (id % 32).toInt
+  val ImageHeight = 32
+
+  /** Encode a REAL grayscale PNG whose row-major pixels are the text bytes
+    * extended cyclically to width×height. Written through the raster (no
+    * color-space conversion) so decode returns exactly these values.
+    */
+  private[graft] def synthPng(id: Long, textBytes: Array[Byte]): Array[Byte] = {
+    val w = imageWidth(id)
+    val h = ImageHeight
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, textBytes(i % textBytes.length) & 0xff)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic media corpus synthesized from `documents`. Image rows
+    * carry REAL PNG payloads (pixels = text bytes, cyclic, via
+    * [[synthPng]]); audio/video rows carry the text bytes as an opaque
+    * stand-in payload. (Real deployments read the binary column straight
+    * from parquet — this stands in for that scan.)
     */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
@@ -68,39 +160,48 @@ object Media {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val modality = (id % 3) match {
-          case 0 => "image"
-          case 1 => "audio"
-          case _ => "video"
+        val bytes = text.getBytes("UTF-8")
+        (id % 3) match {
+          case 0 =>
+            MediaBlob(
+              id,
+              "image",
+              synthPng(id, bytes),
+              MediaMeta("image/png", imageWidth(id), ImageHeight, 0L)
+            )
+          case 1 =>
+            MediaBlob(id, "audio", bytes, MediaMeta("audio/fake", 0, 0, 1000L + (id % 9000)))
+          case _ =>
+            MediaBlob(id, "video", bytes, MediaMeta("video/fake", 128, 72, 2000L + (id % 8000)))
         }
-        val meta = modality match {
-          case "image" => MediaMeta("image/fake", 64 + (id % 64).toInt, 64, 0L)
-          case "audio" => MediaMeta("audio/fake", 0, 0, 1000L + (id % 9000))
-          case _       => MediaMeta("video/fake", 128, 72, 2000L + (id % 8000))
-        }
-        MediaBlob(id, modality, text.getBytes("UTF-8"), meta)
       }
   }
 
   /** Partition-batched feature extraction (the mapInPandas shape): per
-    * partition, one decoder instance processes the blob iterator. The
-    * 16-bin byte histogram and rolling checksum are REAL computations on
-    * the payload; `decoder.decode` is where a native codec would run.
+    * partition, one decoder instance processes the blob iterator. Features
+    * are computed over the DECODED sample stream, re-quantized to 8-bit
+    * levels (`(s*256).toInt` — exact for both the stub's byte/256 and the
+    * PNG path's pixel/256): a 16-bin histogram, a rolling checksum, and
+    * the decoded geometry. For images every one of these is a real pixel
+    * statistic that passed through a real PNG decode.
     */
   def extractFeatures(
       blobs: Dataset[MediaBlob],
-      decoder: Decoder = StubDecoder
+      decoder: Decoder = ModalityDecoder
   ): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val samples = decoder.decode(b.content, b.meta)
+        val d = decoder.decode(b.content, b.meta)
         val bins = new Array[Int](16)
-        b.content.foreach(byte => bins((byte & 0xff) / 16) += 1)
         var checksum = 0L
-        b.content.foreach(byte => checksum = (checksum * 31 + (byte & 0xff)) % 1000000007L)
+        d.samples.foreach { s =>
+          val q = (s * 256.0).toInt
+          bins(q / 16) += 1
+          checksum = (checksum * 31 + q) % 1000000007L
+        }
         val top = bins.indexOf(bins.max)
-        MediaFeatures(b.media_id, b.modality, b.content.length, checksum, samples.length, top)
+        MediaFeatures(b.media_id, b.modality, d.samples.length, d.width, d.height, checksum, top)
       }
     }
   }
@@ -115,26 +216,31 @@ object Media {
   )
 
   /** Resize/downsample: 4× box-filter pooling over the decoded sample
-    * stream (the audio-downsample / image-thumbnail shape). Pooling runs
-    * on integer window sums (exact, order-free) and divides once at the
-    * end — the doubles are bit-identical in the DuckDB oracle. Same
-    * `mapPartitions` batching as [[extractFeatures]]; a real codec slots
-    * into the same decoder boundary.
+    * stream (the audio-downsample / image-thumbnail shape — for images
+    * this pools REAL decoded pixels). Pooling runs on integer window sums
+    * (exact, order-free) and divides once at the end — the doubles are
+    * bit-identical in the DuckDB oracle. Same `mapPartitions` batching as
+    * [[extractFeatures]].
     */
-  def resizePool(blobs: Dataset[MediaBlob], factor: Int = 4): Dataset[PooledMedia] = {
+  def resizePool(
+      blobs: Dataset[MediaBlob],
+      factor: Int = 4,
+      decoder: Decoder = ModalityDecoder
+  ): Dataset[PooledMedia] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.map { b =>
-        val windowSums = b.content
+        val q = decoder.decode(b.content, b.meta).samples.map(s => (s * 256.0).toLong)
+        val windowSums = q
           .grouped(factor)
-          .map(_.map(x => (x & 0xff).toLong).sum)
+          .map(_.sum)
           .toArray
         val total = windowSums.sum
         val scale = factor * 256.0
         PooledMedia(
           b.media_id,
           b.modality,
-          b.content.length,
+          q.length,
           windowSums.length,
           // half-up at 6 digits (values are positive), matching DuckDB's
           // round(x, 6) — math.rint would tie-to-even and diverge

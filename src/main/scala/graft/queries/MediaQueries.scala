@@ -2,19 +2,33 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.charHashDuck
 import graft.multimodal.Media
 
-/** Driver registrations for the multimodal tier. The payloads are ASCII
-  * text bytes (UTF-8 byte == codepoint for this corpus), so the DuckDB
-  * oracle can mirror the byte-level computations exactly with the
-  * portable char-hash / codepoint comprehensions.
+/** Driver registrations for the multimodal tier. Image blobs are REAL
+  * PNGs decoded with `javax.imageio` (pixels = the doc's text bytes
+  * extended cyclically — PNG is lossless, so the oracle predicts every
+  * decoded sample); audio/video blobs are ASCII text bytes through the
+  * stub decoder (UTF-8 byte == codepoint for this corpus), so the DuckDB
+  * oracle mirrors every sample-level computation with portable codepoint
+  * comprehensions.
   */
 object MediaQueries {
   import Q._
 
+  /** DuckDB fragment: the decoded-and-requantized sample list per doc —
+    * for images the text codepoints extended cyclically to width*height
+    * (what the PNG decode returns), for audio/video the codepoints as-is
+    * (what the stub returns). Expects a CTE `t(doc_id, text, cps)`.
+    */
+  private val samplesDuck: String =
+    """CASE WHEN doc_id % 3 = 0
+      |     THEN [cps[((i - 1) % len(cps)) + 1]
+      |           for i in range(1, CAST(32 * (32 + doc_id % 32) AS INT) + 1)]
+      |     ELSE cps END""".stripMargin
+
   val queries: Map[String, Fn] = Map(
-    // mapPartitions-batched decode + feature extraction over binary blobs.
+    // mapPartitions-batched decode + feature extraction over binary blobs;
+    // image rows go through a REAL javax.imageio PNG decode.
     "m_media_features" -> ((s, dir) =>
       Media
         .extractFeatures(Media.blobs(s, dir))
@@ -29,9 +43,10 @@ object MediaQueries {
         .select(col("media_id"), size(col("frame_indices")).as("n_frames"))
         .orderBy("media_id")),
 
-    // Resize/downsample: 4x box-filter pooling over the decoded samples
-    // (audio downsample / thumbnail shape) — integer window sums, one
-    // division at the end, half-up rounding mirrored by the oracle.
+    // Resize/downsample: 4x box-filter pooling over the DECODED samples
+    // (real pixels for images; audio downsample shape for the rest) —
+    // integer window sums, one division at the end, half-up rounding
+    // mirrored by the oracle.
     "m_resize_pool" -> ((s, dir) =>
       Media
         .resizePool(Media.blobs(s, dir))
@@ -41,14 +56,13 @@ object MediaQueries {
     // Exact binary dedup: duplicate payloads (re-crawled images, mirrored
     // videos) found by content digest — at 100 TB the digest computes in
     // the scan projection and ONLY the 16-byte hash shuffles, never the
-    // blob. Planted copies of every 7th blob; groups by md5 over the raw
-    // bytes (payload is UTF-8 text, so the oracle's md5(text) hashes the
-    // identical byte stream).
+    // blob. Planted copies of every 7th payload; groups by md5 over the
+    // raw bytes. Payloads here are the raw document bytes (not the PNG
+    // corpus — the oracle must be able to hash the identical byte stream,
+    // and DuckDB can't encode PNGs).
     "m_binary_dedup" -> ((s, dir) => {
-      val b = Media
-        .blobs(s, dir)
-        .toDF()
-        .select(col("media_id"), col("content"))
+      val b = table(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
       val withCopies = b.unionAll(
         b.filter(col("media_id") % 7 === 0)
           .select((col("media_id") + 2000000L).as("media_id"), col("content"))
@@ -67,16 +81,22 @@ object MediaQueries {
       s"""WITH t AS (SELECT doc_id, text,
          |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
          |  FROM documents),
-         |f AS (SELECT doc_id AS media_id,
+         |s AS (SELECT doc_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-         |  length(text) AS n_bytes,
-         |  ${charHashDuck("text")} AS checksum,
-         |  length(text) AS feature_dim,
-         |  [len(list_filter(cps, c -> c // 16 = b)) for b in range(0, 16)] AS bins
-         |  FROM t)
-         |SELECT media_id, modality, CAST(n_bytes AS INT) AS n_bytes, checksum,
-         |  CAST(feature_dim AS INT) AS feature_dim,
+         |  $samplesDuck AS q,
+         |  CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 32 AS INT)
+         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 128 END AS width,
+         |  CASE WHEN doc_id % 3 = 0 THEN 32
+         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 72 END AS height
+         |  FROM t),
+         |f AS (SELECT doc_id AS media_id, modality, len(q) AS n_samples, width, height,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), q),
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum,
+         |  [len(list_filter(q, c -> c // 16 = b)) for b in range(0, 16)] AS bins
+         |  FROM s)
+         |SELECT media_id, modality, CAST(n_samples AS INT) AS n_samples,
+         |  CAST(width AS INT) AS width, CAST(height AS INT) AS height, checksum,
          |  CAST(list_position(bins, list_aggregate(bins, 'max')) - 1 AS INT) AS top_bin
          |FROM f ORDER BY media_id""".stripMargin,
     "m_frame_sample_plan" ->
@@ -84,21 +104,23 @@ object MediaQueries {
         |  CAST((CAST(floor((2000 + (doc_id % 8000)) / (1000 / 24)) AS INT) // 10) + 1 AS INT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
     "m_resize_pool" ->
-      """WITH t AS (SELECT doc_id, text,
-        |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
-        |  FROM documents),
-        |w AS (SELECT doc_id,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  len(cps) AS n_samples,
-        |  [list_sum(cps[i:i+3]) for i in range(1, len(cps) + 1, 4)] AS ws
-        |  FROM t)
-        |SELECT doc_id AS media_id, modality,
-        |  CAST(n_samples AS INT) AS n_samples,
-        |  CAST(len(ws) AS INT) AS n_pooled,
-        |  round(CAST(list_sum(ws) AS DOUBLE) / 1024.0 / len(ws), 6) AS mean_pooled,
-        |  round(CAST(list_aggregate(ws, 'max') AS DOUBLE) / 1024.0, 6) AS max_pooled
-        |FROM w ORDER BY media_id""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, text,
+         |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  $samplesDuck AS q
+         |  FROM t),
+         |w AS (SELECT doc_id, modality, len(q) AS n_samples,
+         |  [list_sum(q[i:i+3]) for i in range(1, len(q) + 1, 4)] AS ws
+         |  FROM s)
+         |SELECT doc_id AS media_id, modality,
+         |  CAST(n_samples AS INT) AS n_samples,
+         |  CAST(len(ws) AS INT) AS n_pooled,
+         |  round(CAST(list_sum(ws) AS DOUBLE) / 1024.0 / len(ws), 6) AS mean_pooled,
+         |  round(CAST(list_aggregate(ws, 'max') AS DOUBLE) / 1024.0, 6) AS max_pooled
+         |FROM w ORDER BY media_id""".stripMargin,
     "m_binary_dedup" ->
       """WITH b AS (
         |  SELECT doc_id AS media_id, text FROM documents

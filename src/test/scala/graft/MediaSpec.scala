@@ -5,17 +5,35 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFeatures
 import graft.multimodal.Media
 
-/** Multimodal plumbing: the mapPartitions feature path must agree with
-  * the pure-SQL expression path (cross-validates the imperative batch
-  * loop against the codegen'd charHash), and metadata-only transforms
-  * never touch payloads.
+/** Multimodal plumbing: the image path is a REAL PNG encode→decode round
+  * trip through javax.imageio; the mapPartitions feature path must agree
+  * with the pure-SQL expression path on stub modalities (cross-validates
+  * the imperative batch loop against the codegen'd charHash); and
+  * metadata-only transforms never touch payloads.
   */
 class MediaSpec extends SparkSpecBase {
 
-  test("mapPartitions checksum equals the SQL rolling hash (ASCII corpus)") {
+  test("PNG encode -> ImageIO decode round-trips the source pixels exactly") {
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789"
+    val bytes = text.getBytes("UTF-8")
+    val id = 42L // 42 % 32 = 10 -> width 42? no: width = 32 + (42 % 32) = 42
+    val png = Media.synthPng(id, bytes)
+    // a real PNG payload, not the raw bytes
+    assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')))
+    val d = Media.ImageIoDecoder.decode(png, Media.MediaMeta("image/png", 0, 0, 0L))
+    assert(d.width == Media.imageWidth(id) && d.height == Media.ImageHeight)
+    assert(d.samples.length == d.width * d.height)
+    // decoded sample i re-quantizes to exactly the cyclic source byte
+    d.samples.zipWithIndex.foreach { case (s, i) =>
+      assert((s * 256.0).toInt == (bytes(i % bytes.length) & 0xff), s"pixel $i")
+    }
+  }
+
+  test("mapPartitions checksum equals the SQL rolling hash on stub modalities") {
     val fromBlobs = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
+      .filter(col("modality") =!= "image") // image checksums are over decoded pixels
       .select(col("media_id"), col("checksum"))
     val fromSql = spark.read
       .parquet(s"$Sf0001/documents.parquet")
@@ -30,11 +48,34 @@ class MediaSpec extends SparkSpecBase {
     assert(diff == 0)
   }
 
+  test("image features come from the real decode: geometry and sample count match") {
+    val img = Media
+      .extractFeatures(Media.blobs(spark, Sf0001))
+      .toDF()
+      .filter(col("modality") === "image")
+    assert(img.count() > 0)
+    val bad = img
+      .filter(
+        col("width") =!= (lit(32) + col("media_id") % 32) ||
+          col("height") =!= Media.ImageHeight ||
+          col("n_samples") =!= col("width") * col("height")
+      )
+      .count()
+    assert(bad == 0)
+  }
+
   test("stub decoder produces one sample per payload byte") {
     val rows = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
-      .filter(col("feature_dim") =!= col("n_bytes"))
+      .filter(col("modality") =!= "image")
+      .join(
+        spark.read
+          .parquet(s"$Sf0001/documents.parquet")
+          .select(col("doc_id").as("media_id"), length(col("text")).as("n_text")),
+        "media_id"
+      )
+      .filter(col("n_samples") =!= col("n_text"))
       .count()
     assert(rows == 0)
   }
