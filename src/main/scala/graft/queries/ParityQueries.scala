@@ -308,6 +308,28 @@ object ParityQueries {
         )
     }),
 
+    // K4 — the log-line sink as a driver-checkable query (VERDICT r4
+    // "What's missing" #3): the REAL pipeline run's log messages (all
+    // deterministic under the mock source), formatted by Sinks.logLine
+    // into the reference's `ts | Stage | message` shape (etl.json:12-14)
+    // with the reference's pinned timestamps standing in for the run's
+    // wall-clock ones (un-oracle-able, like A8).
+    "k4_log_lines" -> ((s, _) => {
+      val r = Pipeline.run(s)
+      val pinnedTs = Seq(
+        "2025-11-11T09:00:00Z", // etl.json:12
+        "2025-11-11T09:00:17Z", // etl.json:13
+        "2025-11-11T09:01:35Z" // etl.json:14
+      )
+      import s.implicits._
+      r.logs
+        .zip(pinnedTs)
+        .zipWithIndex
+        .map { case ((l, ts), i) => (i + 1, Sinks.logLine(ts, l.stage, l.message)) }
+        .toDF("seq", "line")
+        .orderBy("seq")
+    }),
+
     // A2 at the 100 TB tier: HLL++ approx distinct beside the exact count
     // (SURVEY §7.3 — exact at parity scale, approx for the scale path).
     // The oracle checks the exact count and the within-5%% contract.
@@ -502,6 +524,15 @@ object ParityQueries {
     "a2_approx_distinct_scale" ->
       """SELECT count(DISTINCT c_custkey) AS n_exact,
         |  CAST(1 AS BOOLEAN) AS approx_within_5pct
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+    // The literal-generating mirror of the pinned-ts log lines: the mock
+    // run's messages are fully determined (50 mock users, all valid, no
+    // CSV export), so the exact formatted strings are the oracle.
+    "k4_log_lines" ->
+      """SELECT 1 AS seq,
+        |  '2025-11-11T09:00:00Z | Extract | source=mock://users fallback=true' AS line
+        |UNION ALL SELECT 2, '2025-11-11T09:00:17Z | Transform | rows_in=50 rows_out=50'
+        |UNION ALL SELECT 3, '2025-11-11T09:01:35Z | Load | exported=false'
+        |ORDER BY seq""".stripMargin
   )
 }
