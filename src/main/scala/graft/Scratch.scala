@@ -33,6 +33,18 @@ object Scratch {
       spark.stop()
       return
     }
+    if (args.headOption.contains("dump")) {
+      // dump <outDir> <name>... — re-dump single queries into an existing
+      // Verify output dir (sfDir via SPARK_GRAFT_SF_DIR), for spot re-checks
+      val outDir = args(1)
+      args.drop(2).foreach { name =>
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[scratch] dumped $name")
+      }
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("probe")) {
       // stage-by-stage timing of the dedup text pipeline (dev only)
       import org.apache.spark.sql.functions._

@@ -194,13 +194,33 @@ object OperatorQueries {
         .localCheckpoint()
       val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
       val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
+      // The per-(u1,u2) pair set is inherently QUADRATIC in co-active
+      // sessions (112M pairs at sf1) — materializing it as the query
+      // output is the scale antipattern. The driver-visible form instead
+      // reduces the full pair set to 64 bucket rows carrying an order-free
+      // integer checksum: any wrong, missing, or duplicated pair changes
+      // n_pairs/sum_overlaps/pair_checksum, so verification power is
+      // preserved at O(1) output for ANY scale factor. The raw-pair path
+      // stays covered by RangeJoinSpec at unit scale.
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
           bucketWidth = 30L * 60 * 1000000,
           extraCond = Some(col("u1") < col("u2")))
         .groupBy(col("u1"), col("u2"))
         .agg(count(lit(1)).as("n_overlaps"))
-        .orderBy("u1", "u2")
+        .select(
+          col("u1"),
+          col("n_overlaps"),
+          (((col("u1") * 1048573L + col("u2")) % 1000000007L) * 31L
+            + col("n_overlaps")).mod(1000000007L).as("h")
+        )
+        .groupBy((col("u1") % 64).as("bucket"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("n_overlaps")).as("sum_overlaps"),
+          sum(col("h")).as("pair_checksum")
+        )
+        .orderBy("bucket")
     }),
 
     // Pivot: per-user event matrix — one row per user, one column pair
@@ -326,11 +346,17 @@ object OperatorQueries {
         |      FROM m),
         |iv AS (SELECT user_id, epoch_us(min(ts)) AS s,
         |              epoch_us(max(ts) + INTERVAL '30 minutes') AS e
-        |       FROM g GROUP BY user_id, sid)
-        |SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps
-        |FROM iv a JOIN iv b
-        |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |       FROM g GROUP BY user_id, sid),
+        |pairs AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+        |  GROUP BY 1, 2)
+        |SELECT u1 % 64 AS bucket, count(*) AS n_pairs,
+        |  CAST(sum(n_overlaps) AS BIGINT) AS sum_overlaps,
+        |  CAST(sum(((u1 * 1048573 + u2) % 1000000007 * 31 + n_overlaps)
+        |           % 1000000007) AS BIGINT) AS pair_checksum
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_pivot_event_matrix" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click_n,

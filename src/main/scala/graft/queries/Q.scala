@@ -21,9 +21,17 @@ object Q {
     * double division would lose precision at ~1.7e18 ns). DuckDB's ns→us
     * cast truncates identically.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = table(s, dir, "events")
+    raw.schema("ts").dataType match {
+      // driver testdata: TIMESTAMP(NANOS), surfaced as LONG nanos by the
+      // legacy conf → truncate to micros exactly as DuckDB's ns→us cast
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // scaled corpora (GenScale) re-encode as standard TIMESTAMP micros
+      case _ => raw
+    }
+  }
 
   /** Exact money arithmetic, portable across engines.
     *
@@ -39,6 +47,22 @@ object Q {
 
   /** SQL fragment mirroring [[cents]] for the DuckDB oracle. */
   def centsSql(col: String): String = s"CAST(round($col * 100) AS BIGINT)"
+
+  /** Overflow-safe DuckDB mirror of Spark's non-ANSI `sum(LONG)`.
+    *
+    * DuckDB sums BIGINT into HUGEINT and a plain `CAST(... AS BIGINT)`
+    * RAISES past 2^63, where Spark's Long sum wraps two's-complement — so
+    * at scale factors where an e4/e6-units sum nears 2^63 the oracle would
+    * error out instead of comparing. This wraps the exact HUGEINT sum into
+    * the signed 64-bit range (`((x + 2^63) mod 2^64) - 2^63`, with a
+    * positive mod), which equals Spark's wrapped sum at ANY scale factor
+    * (HUGEINT is exact to ±1.7e38 — beyond any physical corpus). Verified
+    * against two's-complement at the ±2^63 boundaries.
+    */
+  def wrapSumSql(e: String): String =
+    s"CAST((((sum($e) + 9223372036854775808) % 18446744073709551616" +
+      s" + 18446744073709551616) % 18446744073709551616)" +
+      s" - 9223372036854775808 AS BIGINT)"
 
   /** The shared DuckDB CTE reproducing the deterministic mock-user source
     * (FIXTURES.md A2) via `generate_series` — lets DuckDB oracle-check the

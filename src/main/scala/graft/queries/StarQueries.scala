@@ -732,21 +732,22 @@ object StarQueries {
     })
   )
 
-  /** Overflow note (ADVICE r3): DuckDB sums BIGINT into HUGEINT and
-    * `CAST(... AS BIGINT)` RAISES on overflow, while Spark's non-ANSI Long
-    * sum wraps silently — so at scale factors where a cents/e6-units sum
-    * approaches 2^63 the oracle errors out rather than reporting a value
-    * mismatch. Irrelevant at the sf0.01/sf0.1 test scales (sums ≤ ~1e13);
-    * at 100 TB the Spark side switches to decimal(38,6) per the q1 note,
-    * and the oracle casts would follow.
+  /** Overflow safety (ADVICE r3 → fixed r5): the e4/e6-units sums — the
+    * only aggregates that could near 2^63 at large SFs — go through
+    * [[Q.wrapSumSql]], which wraps DuckDB's exact HUGEINT sum into Spark's
+    * two's-complement Long semantics, so the oracle COMPARES (and matches)
+    * at any scale factor instead of raising on `CAST(HUGEINT AS BIGINT)`.
+    * Plain cents sums stay ≤ ~1e15 through sf100 and keep the direct cast.
+    * At 100 TB the Spark side's documented switch is decimal(38,6) per the
+    * q1 note, and the oracle casts would follow.
     */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_base_price_cents,
-         |  CAST(sum($revUnitsSql) AS BIGINT) AS sum_disc_price_e4,
-         |  CAST(sum($revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
+         |  ${wrapSumSql(revUnitsSql)} AS sum_disc_price_e4,
+         |  ${wrapSumSql(s"$revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)")} AS sum_charge_e6,
          |  round(avg(l_quantity), 2) AS avg_qty,
          |  round(sum(${centsSql("l_extendedprice")}) / count(*) / 100.0, 2) AS avg_price,
          |  round(avg(l_discount), 2) AS avg_disc,
@@ -972,7 +973,7 @@ object StarQueries {
          |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
     "q11_important_parts" ->
       s"""WITH v AS (
-         |  SELECT l_partkey AS partkey, CAST(sum($revUnitsSql) AS BIGINT) AS value_e4
+         |  SELECT l_partkey AS partkey, ${wrapSumSql(revUnitsSql)} AS value_e4
          |  FROM lineitem
          |  JOIN supplier ON l_suppkey = s_suppkey
          |  JOIN nation ON s_nationkey = n_nationkey
@@ -994,7 +995,7 @@ object StarQueries {
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q15_top_supplier" ->
       s"""WITH rev AS (
-         |  SELECT l_suppkey AS suppkey, CAST(sum($revUnitsSql) AS BIGINT) AS total_e4
+         |  SELECT l_suppkey AS suppkey, ${wrapSumSql(revUnitsSql)} AS total_e4
          |  FROM lineitem
          |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
          |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
