@@ -539,6 +539,33 @@ object StarQueries {
            |ORDER BY value_e4 DESC, partkey""".stripMargin
       )),
 
+    // Q12-shape priority shipping: the reference schema has no l_shipmode /
+    // l_commitdate / l_receiptdate, so the public Q12 pattern (per-mode
+    // high/low priority line counts in a receipt-year window) is adapted to
+    // the driver's column subset: l_returnflag stands in for the mode
+    // dimension and l_shipdate for the receipt window. The signature
+    // features survive intact: a fact-fact join where only the ORDER side
+    // carries the CASE column, conditional aggregation (two sums from one
+    // pass), and a date filter pushed to the lineitem scan so the join
+    // input is one year, not the full table. At 100 TB the l_shipdate
+    // filter prunes before the shuffle and the 3-row result exits a
+    // partial+final hash agg.
+    "q12_priority_lines" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      table(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp")
+        )
+        .join(table(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(hi, 0L).otherwise(1L)).as("low_line_count")
+        )
+        .orderBy("l_returnflag")
+    }),
+
     // Q13-shape customer order distribution: LEFT OUTER customer⋈orders
     // with a non-trivial predicate INSIDE the join condition (urgent
     // orders don't count, but the customer still appears with 0), then a
@@ -983,6 +1010,15 @@ object StarQueries {
          |FROM v
          |WHERE value_e4 > (SELECT CAST(sum(value_e4) * 0.001 AS BIGINT) FROM v)
          |ORDER BY value_e4 DESC, partkey""".stripMargin,
+    "q12_priority_lines" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_customer_distribution" ->
       """WITH pc AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count
