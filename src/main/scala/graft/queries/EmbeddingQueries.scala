@@ -39,16 +39,28 @@ object EmbeddingQueries {
   private def dotDuck(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), [($a)[i] * ($b)[i] for i in range(1, len($a) + 1)]), (x, y) -> x + y)"
 
-  /** Sign-LSH hyperplanes: 12 tables × 4 bits × 64 dims of genuinely
+  /** Sign-LSH hyperplanes: 12 tables × 16 bits × 64 dims of genuinely
     * random coefficients from a fixed-seed PRNG. (An earlier inline-LCG
     * variant produced near-parallel planes — any affine map of
     * consecutive seeds is an arithmetic ramp — and missed real pairs.)
-    * The planes travel as a 48-row broadcast DataFrame, not as literals:
-    * a 3072-literal expression tree costs seconds of analysis/codegen
+    * The planes travel as a 192-row broadcast DataFrame, not as literals:
+    * a 12288-literal expression tree costs seconds of analysis/codegen
     * per run and would be re-shipped inside every task's plan at scale.
+    *
+    * Sizing (round-5 sf1 lesson): the original 4-bit tables (16 buckets)
+    * made the bucket self-join Σ·sz² ≈ T·n²/16 — quadratic in the corpus,
+    * 8e9 candidates at sf1, a cap blowout. 16-bit tables (65536 buckets)
+    * put bucket occupancy ≈ n/2^16 ≈ 1.6 at sf1, and candidate volume
+    * T·n·probes·occupancy stays ~linear; recall lost to the extra bits is
+    * bought back with Hamming-radius-1 multiprobe on one join side (a
+    * near-dup pair whose 16-bit codes differ in ≤1 bit in ANY of the 12
+    * tables is found; the tri-scale + sf1 oracle sweeps verify zero
+    * missed pairs empirically). Past ~10 M vectors, grow bits ~log2(n)
+    * (occupancy-constant) — documented, not auto-tuned: bucket width is
+    * a layout decision at 100 TB, like partition count.
     */
   private val NumTables = 12
-  private val BitsPerTable = 4
+  private val BitsPerTable = 16
 
   /** Fixed-point scale (2^20) for k-means centroid arithmetic — see
     * `e_kmeans_ivf_topk`. */
@@ -299,8 +311,23 @@ object EmbeddingQueries {
       // (both bucket sides via bk, both verify sides) — materialize the
       // buckets so the plane dot products run once
       val bk = lshBuckets(cor).localCheckpoint()
-      val cand = bk
-        .select(col("t"), col("bucket"), col("vec_id").as("vec_a"))
+      // Hamming-≤1 multiprobe: the probe side expands each 16-bit code to
+      // itself + its 16 single-bit flips, so a pair differing in ≤1 bit of
+      // SOME table collides. Probe volume is 17·T·n rows — linear — and
+      // the equi-join output is bounded by probes × bucket occupancy
+      // (≈1.6 at sf1), never the n²/buckets of a plain self-join on
+      // under-sized buckets.
+      val probes = bk.select(
+        col("t"),
+        col("vec_id").as("vec_a"),
+        explode(
+          expr(
+            s"concat(array(bucket), transform(sequence(0, ${BitsPerTable - 1}), " +
+              "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))"
+          )
+        ).as("bucket")
+      )
+      val cand = probes
         .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .select("vec_a", "vec_b")

@@ -249,6 +249,53 @@ object OperatorQueries {
         .orderBy("user_id")
     }),
 
+    // Explicit bloom-filter semi-join prune (functions/BloomFunctions):
+    // one month of orders (~1.2% selectivity) builds a bloom over its
+    // orderkeys; the lineitem FACT side drops non-matching rows at the
+    // scan — BEFORE its shuffle — via graft_might_contain over the
+    // 1-row broadcast bloom. At 100 TB this shrinks the fact exchange to
+    // ~the matching fraction; false positives are removed by the real
+    // join that follows (no false negatives), so results are EXACTLY the
+    // plain join — which is the oracle. BloomPruneSpec asserts the
+    // superset/soundness property and that the prune actually dropped
+    // rows ahead of the join.
+    "o_bloom_pruned_join" -> ((s, dir) => {
+      graft.functions.BloomFunctions.register(s)
+      val sel = table(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-03-01", "1996-03-31"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      // might_contain requires its filter operand to be a CONSTANT or a
+      // scalar subquery (the same contract Spark's own InjectRuntimeFilter
+      // satisfies — the filter is built once, then shipped to every fact
+      // task), so the build side rides a scalar subquery over a temp view
+      // rather than a 1-row cross join. Sized for the scale path (4 MB
+      // bitset, ~2^22 expected keys): at bench SFs the actual key count
+      // is far smaller, driving the FP rate to ~0; a production build
+      // would size from table stats.
+      sel.createOrReplaceTempView("graft_bloom_sel")
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .createOrReplaceTempView("graft_bloom_fact")
+      val revUnits =
+        round(col("l_extendedprice") * 100).cast("long") *
+          round((lit(1) - col("l_discount")) * 100).cast("long")
+      s.sql(
+        """SELECT l_orderkey, l_extendedprice, l_discount
+          |FROM graft_bloom_fact
+          |WHERE graft_might_contain(
+          |  (SELECT graft_bloom_agg(xxhash64(o_orderkey), CAST(4194304 AS BIGINT))
+          |   FROM graft_bloom_sel),
+          |  xxhash64(l_orderkey))""".stripMargin
+      )
+        .join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          (sum(revUnits) / 10000.0).as("revenue")
+        )
+        .orderBy("o_orderpriority")
+    }),
+
     // Bucketed fact-fact join: write both facts bucketed+sorted on the
     // join key (bucket once), then join the bucketed tables (join many
     // times, zero shuffle — see BucketedJoinSpec for the plan assertion).
@@ -370,7 +417,15 @@ object OperatorQueries {
         |  count(*) FILTER (event_type = 'view') AS view_n,
         |  CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) FILTER (event_type = 'view'), 0) AS BIGINT) AS view_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-    // Bucketing must be semantics-preserving: the oracle is the direct join.
+    // The bloom prune must be invisible to results: oracle = plain join.
+    "o_bloom_pruned_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-03-31'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // Bucketing must be semantics-preserving: oracle is the direct join.
     "o_bucketed_join_stats" ->
       s"""SELECT o_orderstatus, count(*) AS n,
          |  CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_price_cents

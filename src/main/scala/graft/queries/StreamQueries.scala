@@ -119,6 +119,77 @@ object StreamQueries {
         )
         .orderBy("event_type", "c_mktsegment")),
 
+    // Mergeable set algebra over user audiences (DataSketches Theta via
+    // Spark 4's native theta_* functions): distinct users who clicked
+    // OR / AND / but-never purchased, computed as sketch union /
+    // intersection / difference — the pattern that answers audience
+    // overlap at 100 TB from per-segment sketches WITHOUT rescanning
+    // raw events. lgK=20 keeps every sketch in the exact (un-sampled)
+    // regime below ~1M distinct users per side (any tested SF; past
+    // that the estimate is ±1.6% — documented, like a2's HLL contract),
+    // so the estimates hash-match the oracle's exact UNION / INTERSECT /
+    // EXCEPT distinct counts. theta_union carries its own lgK: the
+    // default (12) would silently downsample the union of exact inputs.
+    "s_theta_user_setops" -> ((s, dir) =>
+      events(s, dir)
+        .agg(
+          expr("theta_sketch_agg(case when event_type = 'click' then user_id end, 20)")
+            .as("clickers"),
+          expr("theta_sketch_agg(case when event_type = 'purchase' then user_id end, 20)")
+            .as("buyers")
+        )
+        .select(
+          expr("theta_sketch_estimate(theta_union(clickers, buyers, 20))")
+            .as("n_click_or_buy"),
+          expr("theta_sketch_estimate(theta_intersection(clickers, buyers))")
+            .as("n_click_and_buy"),
+          expr("theta_sketch_estimate(theta_difference(clickers, buyers))")
+            .as("n_click_not_buy")
+        )),
+
+    // Time-series gap-fill / daily resample: each user's [first, last]
+    // active day becomes a dense daily grid (sequence+explode — per-row
+    // generation, no driver loop), missing days join as NULL and are
+    // carry-forward filled with `last(_, ignoreNulls)` over a per-user
+    // ordered window. Two hash exchanges on user_id (grid join + window
+    // — AQE reuses the partitioning); at 100 TB the grid is generated
+    // on the executors and never materialized wider than user_id's
+    // partition. Oracle = DuckDB generate_series + last_value IGNORE
+    // NULLS.
+    "s_gap_fill_daily" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(
+          col("user_id"),
+          to_date(col("ts")).as("day"),
+          round(col("value") * 100).cast("long").as("c")
+        )
+        .groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("c")).as("day_cents"))
+      val grid = daily
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(
+          col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day")
+        )
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled_cents", last(col("day_cents"), ignoreNulls = true).over(w))
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          col("n_events").isNull.as("is_gap"),
+          col("filled_cents")
+        )
+        .orderBy("user_id", "day")
+    }),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -203,6 +274,35 @@ object StreamQueries {
         |FROM events JOIN customer ON user_id = c_custkey - 1
         |GROUP BY event_type, c_mktsegment
         |ORDER BY event_type, c_mktsegment""".stripMargin,
+    // Sketch set-ops must be exact in the un-sampled regime: oracle =
+    // plain distinct set algebra.
+    "s_theta_user_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT user_id FROM c UNION SELECT user_id FROM p)) AS n_click_or_buy,
+        |  (SELECT count(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS n_click_and_buy,
+        |  (SELECT count(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)) AS n_click_not_buy""".stripMargin,
+    "s_gap_fill_daily" ->
+      """WITH ev AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |              CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |daily AS (SELECT user_id, day, count(*) AS n_events, sum(c) AS day_cents
+        |          FROM ev GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           CAST(unnest(generate_series(d0, d1, INTERVAL 1 day)) AS DATE) AS day
+        |         FROM span),
+        |j AS (SELECT g.user_id, g.day, d.n_events, d.day_cents
+        |      FROM grid g LEFT JOIN daily d USING (user_id, day)),
+        |f AS (SELECT user_id, day, coalesce(n_events, 0) AS n_events,
+        |        (n_events IS NULL) AS is_gap,
+        |        last_value(day_cents IGNORE NULLS) OVER (
+        |          PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+        |      FROM j)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, is_gap,
+        |  CAST(filled_cents AS BIGINT) AS filled_cents
+        |FROM f ORDER BY user_id, day""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

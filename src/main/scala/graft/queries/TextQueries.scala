@@ -449,7 +449,92 @@ object TextQueries {
           expr("percentile(n_chars, 0.75)").as("p75"),
           expr("percentile(n_chars, 0.95)").as("p95")
         )
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Mergeable quantiles at the 100 TB tier (Spark 4's native
+    // DataSketches KLL functions): per-source KLL sketches of doc length
+    // merged into one corpus sketch — the rollup that maintains
+    // percentiles per partition/day and combines them WITHOUT rescanning
+    // (exact `percentile` can't do that: it buffers all values). KLL is
+    // sampling-based, so the sketch's quantile values are not themselves
+    // oracle-able; like a2's HLL contract, the registered output is the
+    // exact quantiles (oracle-checkable) plus contract booleans asserting
+    // the sketch's p50/p90 estimates land within ±5 % TRUE rank (k=200's
+    // guaranteed normalized rank error is ~1.65 % at 99 % confidence —
+    // the 5 % gate leaves ~3σ headroom, deterministic in practice) and
+    // that the merged sketch saw every row.
+    "t_kll_doclen_quantiles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val sk = docs
+        .groupBy(col("source"))
+        .agg(expr("kll_sketch_agg_bigint(n_chars, 200)").as("sk"))
+        .agg(expr("kll_merge_agg_bigint(sk, 200)").as("msk"))
+        .select(
+          expr("kll_sketch_get_quantile_bigint(msk, 0.5)").as("q50"),
+          expr("kll_sketch_get_quantile_bigint(msk, 0.9)").as("q90"),
+          expr("kll_sketch_get_n_bigint(msk)").as("sketch_n")
+        )
+      docs
+        .crossJoin(broadcast(sk))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("sketch_n")).as("sketch_n"),
+          expr("percentile(n_chars, 0.5)").as("exact_p50"),
+          expr("percentile(n_chars, 0.9)").as("exact_p90"),
+          (sum(when(col("n_chars") <= col("q50"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("rank_q50"),
+          (sum(when(col("n_chars") <= col("q90"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("rank_q90")
+        )
+        .select(
+          col("n_docs"),
+          (col("sketch_n") === col("n_docs")).as("sketch_counts_all"),
+          col("exact_p50"),
+          col("exact_p90"),
+          (abs(col("rank_q50") - 0.5) <= 0.05).as("kll_p50_within_5pct"),
+          (abs(col("rank_q90") - 0.9) <= 0.05).as("kll_p90_within_5pct")
+        )
+    }),
+
+    // Boilerplate removal (C4/RefinedWeb-style, at paragraph granularity):
+    // docs are chunked into consecutive 10-word spans (pure per-row
+    // transform — no shuffle to produce chunks) and a chunk occurring in
+    // ≥3 DISTINCT docs is boilerplate. The boilerplate set is tiny
+    // relative to the corpus (frequent spans are by definition few), so
+    // it re-joins as a broadcast left-semi — at 100 TB the only wide
+    // exchange is the chunk df-count; no doc text is ever shuffled
+    // (chunks are, hashed in the scale variant; strings here so DuckDB
+    // can mirror them).
+    "t_boilerplate_chunks" -> ((s, dir) => {
+      val chunked = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(
+          col("doc_id"),
+          expr(
+            "transform(sequence(0, cast(ceil(size(ws) / 10.0) as int) - 1), " +
+              "i -> array_join(slice(ws, i * 10 + 1, 10), ' '))"
+          ).as("chunks")
+        )
+      val ch = chunked.select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      val boiler = ch
+        .groupBy(col("chunk"))
+        .agg(count_distinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("chunk"))
+      val perDoc = ch
+        .join(broadcast(boiler), Seq("chunk"), "left_semi")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_boiler_chunks"))
+      chunked
+        .select(col("doc_id"), size(col("chunks")).cast("long").as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          col("n_chunks"),
+          coalesce(col("n_boiler_chunks"), lit(0L)).as("n_boiler_chunks")
+        )
+        .orderBy("doc_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -506,6 +591,29 @@ object TextQueries {
         |  quantile_cont(n_chars, 0.75) AS p75,
         |  quantile_cont(n_chars, 0.95) AS p95
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // The sketch side is asserted via contract booleans (always-true
+    // within the ±5% rank gate); the exact side is fully checked.
+    "t_kll_doclen_quantiles" ->
+      """SELECT count(*) AS n_docs, true AS sketch_counts_all,
+        |  quantile_cont(n_chars, 0.5) AS exact_p50,
+        |  quantile_cont(n_chars, 0.9) AS exact_p90,
+        |  true AS kll_p50_within_5pct, true AS kll_p90_within_5pct
+        |FROM documents""".stripMargin,
+    "t_boilerplate_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 10.0) AS INT) AS nc FROM d),
+        |ch AS (SELECT doc_id,
+        |         unnest(list_transform(range(0, nc),
+        |                i -> array_to_string(ws[(i*10+1):(i*10+10)], ' '))) AS chunk
+        |       FROM n),
+        |boiler AS (SELECT chunk FROM ch GROUP BY chunk
+        |           HAVING count(DISTINCT doc_id) >= 3),
+        |pd AS (SELECT doc_id, count(*) AS nb FROM ch
+        |       WHERE chunk IN (SELECT chunk FROM boiler) GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(nc AS BIGINT) AS n_chunks,
+        |  CAST(coalesce(nb, 0) AS BIGINT) AS n_boiler_chunks
+        |FROM n LEFT JOIN pd ON n.doc_id = pd.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "t_token_counts" ->
       s"""SELECT doc_id,
          |  len(string_split(text, ' ')) AS n_ws_tokens,
