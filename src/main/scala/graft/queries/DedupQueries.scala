@@ -289,6 +289,53 @@ object DedupQueries {
     // check is a 1-row aggregate (sum of reps, strictly decreasing until
     // converged). Oracle = DuckDB recursive-CTE transitive closure over
     // the exact pair set.
+    // Triangle count over the near-dup pair graph (degree-ordered edge
+    // orientation — the distributed-triangle standard): orient every
+    // edge from its lower-(degree, id) endpoint, wedge-join out-edges on
+    // their shared source, close wedges with a semi-join back to the
+    // edge set. The orientation is acyclic, so each triangle is counted
+    // at exactly one node (its unique out-degree-2 corner), and the
+    // wedge join is bounded by Σ outdeg² ≤ O(E^1.5) — a hub of degree k
+    // (a duplicate clique) contributes O(k) out-wedges, not O(k²), which
+    // is the difference between tractable and quadratic at 100 TB graph
+    // scale. Oracle = the plain 3-way self-join on the exact pair set.
+    "d_dup_triangles" -> ((s, dir) => {
+      val pairs = lshVerifiedPairs(s, dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint() // three consumers: degrees, orientation, closure
+      val deg = pairs
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("d"))
+      val e = pairs
+        .join(deg.select(col("v").as("doc_a"), col("d").as("da")), "doc_a")
+        .join(deg.select(col("v").as("doc_b"), col("d").as("db")), "doc_b")
+        .select(
+          when(
+            col("da") < col("db") ||
+              (col("da") === col("db") && col("doc_a") < col("doc_b")),
+            struct(col("doc_a").as("src"), col("doc_b").as("dst"))
+          ).otherwise(struct(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .as("o")
+        )
+        .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      // out-wedges, canonicalized by id so the closing edge matches the
+      // (doc_a < doc_b) pair form
+      val wedges = e
+        .select(col("src"), col("dst").as("x"))
+        .join(e.select(col("src"), col("dst").as("y")), "src")
+        .filter(col("x") < col("y"))
+      val tri = wedges.join(
+        pairs,
+        wedges("x") === pairs("doc_a") && wedges("y") === pairs("doc_b"),
+        "left_semi"
+      )
+      pairs
+        .agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .crossJoin(deg.agg(max(col("d")).as("max_degree")))
+    }),
+
     "d_dup_clusters" -> ((s, dir) => {
       val edges = lshVerifiedPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
@@ -394,6 +441,31 @@ object DedupQueries {
     // The LSH path must reproduce the exact pair set (verification step
     // + negligible banding miss probability at the threshold).
     "d_minhash_lsh_pairs" -> exactPairsSql,
+    // Triangles must match the plain 3-way self-join on the exact pair
+    // set (the Spark side's orientation trick is invisible to results).
+    "d_dup_triangles" ->
+      s"""$corpusCte
+         |$shingleCte
+         |, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |, pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT)
+         |, deg AS (
+         |  SELECT v, count(*) AS d FROM (
+         |    SELECT doc_a AS v FROM pairs
+         |    UNION ALL SELECT doc_b AS v FROM pairs) GROUP BY v)
+         |SELECT
+         |  (SELECT count(*) FROM pairs) AS n_edges,
+         |  (SELECT count(*) FROM pairs p1
+         |     JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |     JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
+         |  ) AS n_triangles,
+         |  (SELECT max(d) FROM deg) AS max_degree""".stripMargin,
     // Components over the exact pair set via recursive-CTE transitive
     // closure (tiny here; the Spark side is the one built for scale).
     "d_dup_clusters" ->

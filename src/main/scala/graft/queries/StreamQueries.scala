@@ -190,6 +190,39 @@ object StreamQueries {
         .orderBy("user_id", "day")
     }),
 
+    // SCD2 (slowly-changing-dimension type 2) interval construction from
+    // a changelog: the event stream is each user's state history; change
+    // points (event_type differs from the previous event) open a new
+    // version with valid_from = ts, closed by the NEXT change's ts via
+    // lead() — the standard build of a versioned dimension from CDC at
+    // 100 TB (one shuffle on the key; both windows share the user_id
+    // partitioning). The open-ended current version has valid_to NULL.
+    // Registered output = per-user version stats (version count, total
+    // closed time in the 'click' state in exact µs, current state) so
+    // verification is O(users), not O(versions).
+    "s_scd2_user_state" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val chg = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      chg
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_versions"),
+          sum(
+            when(
+              col("event_type") === "click" && col("valid_to").isNotNull,
+              unix_micros(col("valid_to")) - unix_micros(col("ts"))
+            ).otherwise(0L)
+          ).as("click_state_us"),
+          max(when(col("valid_to").isNull, col("event_type"))).as("current_state")
+        )
+        .orderBy("user_id")
+    }),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -303,6 +336,21 @@ object StreamQueries {
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n_events, is_gap,
         |  CAST(filled_cents AS BIGINT) AS filled_cents
         |FROM f ORDER BY user_id, day""".stripMargin,
+    "s_scd2_user_state" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |            FROM events),
+        |m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev_type FROM ev),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM m
+        |        WHERE prev_type IS NULL OR prev_type <> event_type),
+        |v AS (SELECT *, lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS valid_to FROM chg)
+        |SELECT user_id, count(*) AS n_versions,
+        |  CAST(sum(CASE WHEN event_type = 'click' AND valid_to IS NOT NULL
+        |                THEN epoch_us(valid_to) - epoch_us(ts) ELSE 0 END) AS BIGINT)
+        |    AS click_state_us,
+        |  max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state
+        |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
