@@ -158,6 +158,11 @@ object StreamQueries {
     // NULLS.
     "s_gap_fill_daily" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // `daily` has two consumers (the span/grid derivation and the
+      // grid join's probe side) and Catalyst cannot share the subtrees
+      // (plan-audit: the scan + aggregate ran twice) — materialize once,
+      // partitioned by the key every downstream step uses
+      // (DedupQueries.hashedSets pattern).
       val daily = events(s, dir)
         .select(
           col("user_id"),
@@ -166,6 +171,8 @@ object StreamQueries {
         )
         .groupBy(col("user_id"), col("day"))
         .agg(count(lit(1)).as("n_events"), sum(col("c")).as("day_cents"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("user_id"))
+        .localCheckpoint()
       val grid = daily
         .groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
