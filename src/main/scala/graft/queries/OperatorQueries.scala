@@ -296,6 +296,43 @@ object OperatorQueries {
         .orderBy("o_orderpriority")
     }),
 
+    // Schema evolution across snapshots (the 100 TB data-lake reality:
+    // a column added in month N is never backfilled into months 1..N-1's
+    // parquet): two snapshots of `documents` are written with DIFFERENT
+    // schemas — v1 without the derived quality column, v2 with it — and
+    // read back as ONE frame via mergeSchema; v1 rows surface the new
+    // column as NULL and aggregates must treat them as such. Oracle =
+    // recomputing the same per-lang profile straight from the source
+    // table (the write→merge→read path must be lossless and
+    // null-correct). Snapshot writes land under the session warehouse
+    // dir keyed by a source fingerprint, like the bucketed tables.
+    "o_schema_merge_roundtrip" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tag = sourceTag(s, s"$dir/documents.parquet")
+      val root = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"),
+        s"graft_schema_evo_$tag"
+      ).toString
+      base
+        .filter(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$root/v1")
+      base
+        .filter(col("doc_id") % 2 === 1)
+        .withColumn("quality_cents", (col("n_chars") % 100).cast("long"))
+        .write.mode("overwrite").parquet(s"$root/v2")
+      s.read
+        .option("mergeSchema", "true")
+        .parquet(s"$root/v1", s"$root/v2")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("quality_cents")).as("n_with_quality"),
+          coalesce(sum(col("quality_cents")), lit(0L)).as("sum_quality")
+        )
+        .orderBy("lang")
+    }),
+
     // Bucketed fact-fact join: write both facts bucketed+sorted on the
     // join key (bucket once), then join the bucketed tables (join many
     // times, zero shuffle — see BucketedJoinSpec for the plan assertion).
@@ -425,6 +462,14 @@ object OperatorQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate BETWEEN TIMESTAMP '1996-03-01' AND TIMESTAMP '1996-03-31'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // The merged read must be lossless + null-correct: oracle recomputes
+    // the profile from the source table (v2-only rows carry the column).
+    "o_schema_merge_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS n_with_quality,
+        |  CAST(coalesce(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars % 100 END), 0) AS BIGINT)
+        |    AS sum_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Bucketing must be semantics-preserving: oracle is the direct join.
     "o_bucketed_join_stats" ->
       s"""SELECT o_orderstatus, count(*) AS n,

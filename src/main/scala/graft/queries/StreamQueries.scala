@@ -207,15 +207,17 @@ object StreamQueries {
     // Registered output = per-user version stats (version count, total
     // closed time in the 'click' state in exact µs, current state) so
     // verification is O(users), not O(versions).
-    "s_scd2_user_state" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val chg = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-      chg
-        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+    "s_scd2_user_state" -> ((s, dir) =>
+      graft.operators.Scd2
+        .intervals(
+          events(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          keyCols = Seq("user_id"),
+          orderCols = Seq(col("ts"), col("event_id")),
+          stateCol = "event_type",
+          tsCol = "ts"
+        )
+        .withColumnRenamed("valid_from", "ts")
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_versions"),
@@ -227,8 +229,7 @@ object StreamQueries {
           ).as("click_state_us"),
           max(when(col("valid_to").isNull, col("event_type"))).as("current_state")
         )
-        .orderBy("user_id")
-    }),
+        .orderBy("user_id")),
 
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
