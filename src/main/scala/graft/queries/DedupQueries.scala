@@ -206,6 +206,42 @@ object DedupQueries {
     verifyJaccard(cand, sets)
   }
 
+  /** Min-label propagation over an undirected edge list (a, b) →
+    * connected-component representative per node: (id, rep). Each round
+    * is a join+groupBy; the fixpoint test is a 1-row aggregate (label
+    * sum is strictly decreasing until convergence) — no driver-side
+    * graph, rounds bounded by component diameter. Nodes with no edges
+    * are NOT emitted (callers coalesce to self).
+    */
+  private def labelPropagate(edges: DataFrame): DataFrame = {
+    val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    // init fused with round 1: rep = min(self, min neighbor) — one
+    // aggregate instead of a distinct + a join round
+    var labels = adj
+      .groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("rep"))
+      .select(col("a").as("id"), col("rep"))
+      .localCheckpoint()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("rep"))).first().getLong(0)
+    while (curSum < prevSum) {
+      val nbrMin = adj
+        .join(labels, adj("b") === labels("id"))
+        .groupBy(adj("a").as("nid"))
+        .agg(min(col("rep")).as("nrep"))
+      labels = labels
+        .join(nbrMin, labels("id") === nbrMin("nid"), "left")
+        .select(
+          col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")
+        )
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum(col("rep"))).first().getLong(0)
+    }
+    labels
+  }
+
   val queries: Map[String, Fn] = Map(
     // Exact dedup, counts: one hash agg over the corpus.
     "d_exact_dedup_counts" -> ((s, dir) =>
@@ -340,35 +376,53 @@ object DedupQueries {
       val edges = lshVerifiedPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .localCheckpoint()
-      val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
-      // init fused with round 1: rep = min(self, min neighbor) — one
-      // aggregate instead of a distinct + a join round
-      var labels = adj
-        .groupBy(col("a"))
-        .agg(least(col("a"), min(col("b"))).as("rep"))
-        .select(col("a").as("id"), col("rep"))
-        .localCheckpoint()
-      var prevSum = Long.MaxValue
-      var curSum = labels.agg(sum(col("rep"))).first().getLong(0)
-      while (curSum < prevSum) {
-        val nbrMin = adj
-          .join(labels, adj("b") === labels("id"))
-          .groupBy(adj("a").as("nid"))
-          .agg(min(col("rep")).as("nrep"))
-        labels = labels
-          .join(nbrMin, labels("id") === nbrMin("nid"), "left")
-          .select(
-            col("id"),
-            least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep")
-          )
-          .localCheckpoint()
-        prevSum = curSum
-        curSum = labels.agg(sum(col("rep"))).first().getLong(0)
-      }
-      labels
+      labelPropagate(edges)
         .groupBy(col("rep").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
         .orderBy("cluster")
+    }),
+
+    // Leakage-safe train/val/test split: assignment is hashed from the
+    // duplicate-CLUSTER representative, not the document — near-duplicate
+    // docs can never straddle train and test (the classic eval-leakage
+    // failure when splitting a deduplicated-in-name-only corpus). Docs
+    // outside the pair graph are their own singleton cluster. The
+    // registered output carries the end-to-end invariant as a column:
+    // n_cross_split_pairs counts LSH pairs whose endpoints landed in
+    // different splits — zero by construction, and the oracle recomputes
+    // the same zero from the exact pair set.
+    "d_leakage_safe_split" -> ((s, dir) => {
+      graft.functions.SketchExpressions.register(s)
+      val edges = lshVerifiedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val labels =
+        labelPropagate(edges.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      val docs = corpus(s, dir).select(col("doc_id"))
+      val assigned = docs
+        .join(labels, docs("doc_id") === labels("id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+        .withColumn("h", expr("char_rolling_hash(cast(rep as string))") % 100)
+        .withColumn(
+          "split",
+          when(col("h") < 80, "train").when(col("h") < 90, "val").otherwise("test")
+        )
+      val cross = edges
+        .join(
+          assigned.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+          "doc_a"
+        )
+        .join(
+          assigned.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+          "doc_b"
+        )
+        .filter(col("split_a") =!= col("split_b"))
+        .agg(count(lit(1)).as("n_cross_split_pairs"))
+      assigned
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), count_distinct(col("rep")).as("n_clusters"))
+        .crossJoin(broadcast(cross))
+        .orderBy("split")
     }),
 
     // SimHash near-dup: 32-bit fingerprints, 4-byte pigeonhole band join
@@ -466,6 +520,42 @@ object DedupQueries {
          |     JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b
          |  ) AS n_triangles,
          |  (SELECT max(d) FROM deg) AS max_degree""".stripMargin,
+    // The split invariant must hold end-to-end: the oracle recomputes
+    // clusters via recursive closure, assigns splits from the SAME
+    // rep-hash, and counts cross-split pairs (zero).
+    "d_leakage_safe_split" ->
+      s"""${corpusCte.replaceFirst("WITH", "WITH RECURSIVE")}
+         |$shingleCte
+         |, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |, pairs AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT)
+         |, e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs)
+         |, reach(n, m) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+         |, rp AS (SELECT n AS id, least(n, min(m)) AS rep FROM reach GROUP BY n)
+         |, sp AS (
+         |  SELECT c.doc_id, coalesce(rp.rep, c.doc_id) AS rep,
+         |    CASE WHEN ${charHashDuck("CAST(coalesce(rp.rep, c.doc_id) AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |         WHEN ${charHashDuck("CAST(coalesce(rp.rep, c.doc_id) AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM corpus c LEFT JOIN rp ON c.doc_id = rp.id)
+         |, xs AS (
+         |  SELECT count(*) AS n_cross FROM pairs p
+         |  JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id
+         |  WHERE a.split <> b.split)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+         |  (SELECT n_cross FROM xs) AS n_cross_split_pairs
+         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
     // Components over the exact pair set via recursive-CTE transitive
     // closure (tiny here; the Spark side is the one built for scale).
     "d_dup_clusters" ->

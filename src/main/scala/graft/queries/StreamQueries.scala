@@ -231,6 +231,46 @@ object StreamQueries {
         )
         .orderBy("user_id")),
 
+    // Point-in-time state join (Scd2 ∘ AsOfJoin — the feature-store
+    // pattern): for every purchase, the user's activity state AS OF the
+    // purchase instant, where states are SCD2 versions built from the
+    // NON-purchase changelog. Joining features at event time — never
+    // after it — is how a training pipeline avoids future-information
+    // leakage; the composition stays two shuffles (one per operator) on
+    // user_id with no interval explosion. Oracle = DuckDB's native
+    // ASOF LEFT JOIN over identically-deduped change points.
+    "s_point_in_time_state" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val states = graft.operators.Scd2
+        .intervals(
+          ev.filter(col("event_type") =!= "purchase")
+            .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+          keyCols = Seq("user_id"),
+          orderCols = Seq(col("ts"), col("event_id")),
+          stateCol = "event_type",
+          tsCol = "ts",
+          carry = Seq("event_id")
+        )
+        .select(
+          col("user_id"),
+          col("valid_from"),
+          col("event_id"),
+          col("event_type").as("state")
+        )
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      graft.operators.AsOfJoin
+        .asOf(purchases, states, "user_id", "p_ts", "valid_from", Seq("event_id", "state"))
+        .select(
+          col("purchase_id"),
+          col("user_id"),
+          col("p_ts"),
+          col("asof_state").as("state_at_purchase")
+        )
+        .orderBy("purchase_id")
+    }),
+
     // JSON property extraction + aggregation: parse the props JSON column
     // (schema-on-read at scale: from_json with explicit schema, pushed
     // into one projection) and profile k per event type.
@@ -359,6 +399,23 @@ object StreamQueries {
         |    AS click_state_us,
         |  max(CASE WHEN valid_to IS NULL THEN event_type END) AS current_state
         |FROM v GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // AsOfJoin's per-(key, ts) dedup takes max(struct(event_id, state))
+    // = the max-event_id row; max_by mirrors it.
+    "s_point_in_time_state" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        |            FROM events),
+        |np AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        |m AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |        AS prev FROM np),
+        |chg AS (SELECT user_id, ts, event_id, event_type FROM m
+        |        WHERE prev IS NULL OR prev <> event_type),
+        |st AS (SELECT user_id, ts, max_by(event_type, event_id) AS state
+        |       FROM chg GROUP BY user_id, ts),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts FROM ev
+        |      WHERE event_type = 'purchase')
+        |SELECT purchase_id, p.user_id, p_ts, state AS state_at_purchase
+        |FROM p ASOF LEFT JOIN st ON p.user_id = st.user_id AND p.p_ts >= st.ts
+        |ORDER BY purchase_id""".stripMargin,
     "s_event_json_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
