@@ -227,6 +227,10 @@ object EmbeddingQueries {
     // sum/count per (cid, dim) — no ordered folds, no collect — and the
     // assignment is a broadcast-centroid argmax identical to e_ivf_topk's.
     "e_kmeans_ivf_topk" -> ((s, dir) => {
+      // register vec_dot BEFORE the first eager-analyzed expr below —
+      // standalone invocation must not depend on an earlier query having
+      // registered it in the shared session (latent-bug fix, round 5)
+      graft.functions.SketchExpressions.register(s)
       // quantized corpus: qvi exact BIGINT, qv = same values as DOUBLE
       // (64 dims × (2^20)^2 ≤ 2^46 keeps dot products overflow-safe)
       val vec = table(s, dir, "embeddings")
@@ -256,8 +260,16 @@ object EmbeddingQueries {
           .groupBy(col("cid"))
           .agg(expr("transform(array_sort(collect_list(struct(pos, v))), p -> p.v)").as("cv"))
           .withColumn("cn", expr(dotSpark("cv", "cv")))
+      // IVF-standard centroid count k ≈ √n: the seed modulus grows with
+      // the corpus (floored at 50 so small scales keep their previous
+      // exact results), so Lloyd assignment work is n·k ≈ n^1.5 instead
+      // of n²/50 — at sf1 this is 316 centroids (not 2000), a ~6× cut in
+      // the round's #2 bench tail. Both engines floor(sqrt(count)) on
+      // an exactly-representable double, so the modulus is identical.
+      val nVec = table(s, dir, "embeddings").count()
+      val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
       val cent0 = vec
-        .filter(col("vec_id") % 50 === 0)
+        .filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
       // checkpoint the (tiny, ≤ |corpus|/50-row) centroid frame: it has
       // two consumers (final assignment + query probes) which would each
@@ -454,7 +466,9 @@ object EmbeddingQueries {
          |  FROM embeddings),
          |qv AS (SELECT vec_id, qvi, [CAST(x AS DOUBLE) for x in qvi] AS qv FROM q0),
          |qn AS (SELECT vec_id, qvi, qv, ${dotDuck("qv", "qv")} AS qn FROM qv),
-         |c0 AS (SELECT vec_id AS cid, qv AS cv, qn AS cn FROM qn WHERE vec_id % 50 = 0),
+         |c0 AS (SELECT vec_id AS cid, qv AS cv, qn AS cn FROM qn
+         |       WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |                       FROM embeddings) = 0),
          |${(1 to KMeansIters).map(step).mkString(",\n")},
          |af AS (SELECT vec_id, cid FROM (
          |  SELECT x.vec_id, c.cid,
