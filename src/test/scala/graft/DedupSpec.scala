@@ -48,6 +48,37 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh == ngram)
   }
 
+  test("ngram candidates drop a df>>cap stop-shingle before any posting list is collected") {
+    import spark.implicits._
+    // 40 docs all share stop-shingle 999 (df=40 >> MaxDF=10) — without
+    // the df pre-pass its full 40-doc posting list would materialize in
+    // the collect_list buffer (and, pre-r3, expand C(40,2)=780 pairs).
+    // Docs 0 and 1 additionally share RARE shingle 1 (df=2); every doc
+    // has a unique shingle (df=1).
+    val sets = (0L until 40L)
+      .map { i =>
+        val hs = if (i < 2) Seq(999L, 1L, 100L + i) else Seq(999L, 100L + i)
+        (i, hs)
+      }
+      .toDF("doc_id", "hs")
+    val cand = DedupQueries.ngramCandidates(sets)
+    // the df cap is a semi-join BEFORE the posting aggregate, not a
+    // size filter after it
+    assert(cand.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    val pairs = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the rare-shingle pair survives; the stop-shingle alone must
+    // generate zero candidates
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("label propagation on an empty edge set returns empty, no NPE") {
+    import spark.implicits._
+    // ADVICE r5: sum(rep) over zero rows is NULL — a corpus with no
+    // near-dup pairs must yield zero clusters, not a driver crash
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupQueries.labelPropagate(empty).count() == 0L)
+  }
+
   test("simhash near-dup pairs all have hamming <= 3 and include planted copies") {
     val rows = DedupQueries
       .queries("d_simhash_pairs")(spark, Sf0001)
