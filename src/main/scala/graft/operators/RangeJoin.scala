@@ -25,11 +25,34 @@ import org.apache.spark.sql.functions._
   * Scale knobs: `bucketWidth` trades replication (width ≪ interval span →
   * many copies) against join fan-out (width ≫ span → many pairs per
   * bucket share no overlap). Set it near the median interval length.
-  * Long-tailed interval lengths → cap replication by splitting outliers
-  * (not needed for the registered workloads; documented here as the
-  * 100 TB follow-up).
+  *
+  * Long-tail guard (VERDICT r5 ask #3): an outlier interval spanning B
+  * buckets no longer materializes one B-element `sequence` array in its
+  * task — bucket ids are generated in bucket-ALIGNED chunks of at most
+  * [[MaxBucketsPerChunk]] via a two-level explode (chunk index, then the
+  * ids inside the chunk), so per-row memory is O(B/cap + cap) instead of
+  * O(B), and the generators pipeline row-at-a-time into the exchange,
+  * which redistributes the copies across the cluster by bucket id. The
+  * B total copies are inherent to bucketization (the interval really is
+  * live in B buckets); what the split removes is the single-task array
+  * blowup and the skew of producing them all in one explode. Chunks tile
+  * the bucket range exactly — aligned starts, disjoint, contiguous — so
+  * each bucket id still appears exactly once per interval and the
+  * canonical-bucket rule (which reads the ORIGINAL bounds, not chunk
+  * bounds) keeps emitting every pair exactly once. A month-long session
+  * over 1 s buckets (~2.6M buckets) peaks at ~10k longs in flight
+  * instead of a 2.6M-element array; beyond ~cap² buckets (~6.7e7) add a
+  * third level — at that point the interval belongs in a coarser tier.
   */
 object RangeJoin {
+
+  /** Per-chunk bucket-id cap for the outlier split: 8192 longs ≈ 64 KiB
+    * per materialized chunk array — far below task memory, far above the
+    * bucket span of any non-pathological interval (normal intervals near
+    * the median length span ~1-2 buckets and get exactly one chunk row,
+    * whose inner sequence is the same array the unsplit form built).
+    */
+  val MaxBucketsPerChunk = 8192L
 
   /** `floor(x / w)` as a LONG bucket id, in exact integer arithmetic:
     * `(x - pmod(x, w)) div w`. The numerator is an exact multiple of `w`
@@ -40,6 +63,39 @@ object RangeJoin {
     */
   private def bucketOf(c: Column, w: Long): Column =
     call_function("div", c - pmod(c, lit(w)), lit(w))
+
+  /** Adds `__bucket` rows for every bucket the [start, end] interval
+    * touches, chunked so no row explodes more than
+    * [[MaxBucketsPerChunk]] ids at once (see the long-tail guard note
+    * above). Chunk j covers bucket ids
+    * `[b0 + j·cap, min(b0 + (j+1)·cap - 1, b1)]` — bucket-aligned,
+    * disjoint, jointly tiling `[b0, b1]`, so the expansion is a
+    * bucket-id partition, not just a cover.
+    */
+  private def withBuckets(
+      df: DataFrame,
+      start: String,
+      end: String,
+      w: Long,
+      cap: Long
+  ): DataFrame = {
+    val b0 = bucketOf(col(start), w)
+    val b1 = bucketOf(col(end), w)
+    df.withColumn(
+        "__chunk",
+        explode(sequence(lit(0L), call_function("div", b1 - b0, lit(cap))))
+      )
+      .withColumn(
+        "__bucket",
+        explode(
+          sequence(
+            b0 + col("__chunk") * lit(cap),
+            least(b0 + (col("__chunk") + lit(1L)) * lit(cap) - lit(1L), b1)
+          )
+        )
+      )
+      .drop("__chunk")
+  }
 
   /** Overlap join of two interval sets: returns all (left, right) row
     * pairs with `lStart <= rEnd && rStart <= lEnd` (closed intervals),
@@ -52,6 +108,8 @@ object RangeJoin {
     * @param extraCond   optional additional join predicate (e.g. key
     *                    equality or `l.u < r.u` anti-symmetry), applied
     *                    with the overlap predicate
+    * @param maxBucketsPerChunk outlier-split chunk cap (tests lower it
+    *                    to exercise multi-chunk tiling at small scale)
     */
   def overlapJoin(
       left: DataFrame,
@@ -61,19 +119,13 @@ object RangeJoin {
       rStart: String,
       rEnd: String,
       bucketWidth: Long,
-      extraCond: Option[Column] = None
+      extraCond: Option[Column] = None,
+      maxBucketsPerChunk: Long = MaxBucketsPerChunk
   ): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val lb = left.withColumn(
-      "__bucket",
-      explode(sequence(bucketOf(col(lStart), bucketWidth),
-        bucketOf(col(lEnd), bucketWidth)))
-    )
-    val rb = right.withColumn(
-      "__bucket",
-      explode(sequence(bucketOf(col(rStart), bucketWidth),
-        bucketOf(col(rEnd), bucketWidth)))
-    )
+    require(maxBucketsPerChunk > 0, "maxBucketsPerChunk must be positive")
+    val lb = withBuckets(left, lStart, lEnd, bucketWidth, maxBucketsPerChunk)
+    val rb = withBuckets(right, rStart, rEnd, bucketWidth, maxBucketsPerChunk)
     val overlap =
       lb(lStart) <= rb(rEnd) && rb(rStart) <= lb(lEnd) &&
         // canonical bucket: the one holding the overlap's left edge —

@@ -70,6 +70,46 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("long-tail outlier intervals split into chunks and still equal the theta join exactly once") {
+    // VERDICT r5 ask #3. Long-tail mix: ~90% short intervals (1..400,
+    // mostly within one 100-wide bucket) and ~10% pathological outliers
+    // spanning up to the full [0, 40000) line — with bucketWidth=100 and
+    // chunk cap 8, an outlier covers up to 400 buckets = 50 chunks, so
+    // the two-level tiling is exercised hard (every chunk-boundary
+    // alignment case, last-chunk truncation, chunk count ≫ 1).
+    def mkLongTail(n: Int, seed: Long) = spark
+      .range(n)
+      .select(
+        col("id"),
+        (hash(col("id") + seed).cast("long") % 40000 + 40000) % 40000 as "s",
+        (hash(col("id") * 17 + seed).cast("long") % 10 + 10) % 10 as "kind",
+        (hash(col("id") * 31 + seed).cast("long") % 40000 + 40000) % 40000 as "len"
+      )
+      .select(
+        col("id"),
+        col("s"),
+        (col("s") + when(col("kind") === 0, col("len")).otherwise(col("len") % 400) + 1).as("e")
+      )
+
+    val l = mkLongTail(150, 11).select(col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = mkLongTail(120, 12).select(col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+
+    val got = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 100,
+        extraCond = None, maxBucketsPerChunk = 8L)
+      .select("lid", "rid")
+    val naive = l
+      .join(r, col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid")
+
+    // exactly-once across chunk AND bucket replication: per-pair counts
+    // must match, not just the distinct pair sets
+    val gotCnt = got.groupBy("lid", "rid").count()
+    val naiveCnt = naive.groupBy("lid", "rid").count()
+    assert(gotCnt.except(naiveCnt).isEmpty && naiveCnt.except(gotCnt).isEmpty)
+    assert(got.count() == naive.count())
+  }
+
   test("intervals with negative bounds join exactly (floor bucketing, not truncation)") {
     // bounds straddle 0: truncate-toward-zero bucketing would make the
     // bucket at 0 twice as wide and double-count or miss pairs there
