@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,16 +12,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * The IMAGE path is REAL end-to-end: the corpus builder synthesizes
-  * genuine PNG payloads (`javax.imageio` — JDK-builtin, no native deps)
-  * and [[Media.ImageIoDecoder]] decodes them back to pixel samples, so
-  * `m_media_features`/`m_resize_pool` compute real pixel statistics
-  * through a real codec. PNG is lossless and the pixels are a
-  * deterministic function of the source text, so the DuckDB oracle can
-  * still predict every decoded value. Audio/video decode (PCM, container
-  * demux) still needs native codec libraries that are NOT in this
-  * container, so those modalities keep the clearly-marked
-  * [[Media.StubDecoder]] fake (one sample per payload byte).
+  * The IMAGE and AUDIO paths are REAL end-to-end, both on JDK-builtin
+  * codecs (no native deps): the corpus builder synthesizes genuine PNG
+  * payloads (`javax.imageio`) and genuine RIFF/WAV payloads (8-bit
+  * unsigned PCM mono via `javax.sound.sampled`), and
+  * [[Media.ImageIoDecoder]] / [[Media.WavDecoder]] decode them back to
+  * sample streams, so `m_media_features`/`m_resize_pool` compute real
+  * pixel and real PCM statistics through real codecs. Both codecs are
+  * lossless and the samples are a deterministic function of the source
+  * text, so the DuckDB oracle still predicts every decoded value.
+  * VIDEO decode (container demux) genuinely needs native codec
+  * libraries that are NOT in this container, so that one modality keeps
+  * the clearly-marked [[Media.StubDecoder]] fake (one sample per
+  * payload byte).
   *
   * What is real and tested for every modality: the schema (binary +
   * metadata struct), the `Dataset[MediaBlob]` encoders, the
@@ -65,11 +69,12 @@ object Media {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded
   }
 
-  /** STUB — deterministic fake standing in for the native audio/video
-    * codecs, which are unavailable in this container. It maps each payload
-    * byte to [0, 1), which keeps the full pipeline (batching, feature
-    * extraction, checksums) executable and reproducible. Geometry is
-    * whatever the metadata declares.
+  /** STUB — deterministic fake standing in for the native VIDEO demux
+    * codecs, which are unavailable in this container (image and audio
+    * use real JDK codecs). It maps each payload byte to [0, 1), which
+    * keeps the full pipeline (batching, feature extraction, checksums)
+    * executable and reproducible. Geometry is whatever the metadata
+    * declares.
     */
   object StubDecoder extends Decoder {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded =
@@ -105,14 +110,36 @@ object Media {
     }
   }
 
-  /** Default routing decoder: real codec where one exists (images via the
-    * JDK), stub elsewhere — the seam where audio/PCM and video/demux
-    * decoders slot in once their libraries are available.
+  /** REAL audio decoder: `javax.sound.sampled` WAV decode to samples in
+    * [0, 1). The corpus writes 8-bit UNSIGNED PCM mono, which WAV stores
+    * as the raw unsigned levels — the frame bytes read back are exactly
+    * the encoded PCM bytes (lossless), so the oracle can predict every
+    * sample. Geometry is 0×0 (audio is non-spatial).
+    */
+  object WavDecoder extends Decoder {
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        require(
+          fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"expected 8-bit mono PCM, got $fmt"
+        )
+        val pcm = in.readAllBytes()
+        Decoded(pcm.map(b => (b & 0xff) / 256.0), 0, 0)
+      } finally in.close()
+    }
+  }
+
+  /** Default routing decoder: real codec where one exists (images and
+    * WAV audio via the JDK), stub for video — the seam where a demux
+    * decoder slots in once its libraries are available.
     */
   object ModalityDecoder extends Decoder {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded =
       if (meta.mime.startsWith("image/") && meta.mime != "image/fake")
         ImageIoDecoder.decode(content, meta)
+      else if (meta.mime == "audio/wav") WavDecoder.decode(content, meta)
       else StubDecoder.decode(content, meta)
   }
 
@@ -147,11 +174,32 @@ object Media {
     out.toByteArray
   }
 
+  /** Audio sample rate for the synthesized WAV corpus (Hz). */
+  val WavSampleRate = 8000
+
+  /** Encode a REAL RIFF/WAV file whose PCM data is exactly `pcm` —
+    * 8-bit unsigned mono at [[WavSampleRate]], written through
+    * `javax.sound.sampled` (JDK-builtin, same move as [[synthPng]]).
+    * 8-bit WAV is stored unsigned byte-per-sample, so decode returns
+    * exactly these bytes.
+    */
+  private[graft] def synthWav(pcm: Array[Byte]): Array[Byte] = {
+    val fmt = new AudioFormat(WavSampleRate.toFloat, 8, 1, false, false)
+    val stream =
+      new AudioInputStream(new ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    finally stream.close()
+    out.toByteArray
+  }
+
   /** Deterministic media corpus synthesized from `documents`. Image rows
     * carry REAL PNG payloads (pixels = text bytes, cyclic, via
-    * [[synthPng]]); audio/video rows carry the text bytes as an opaque
-    * stand-in payload. (Real deployments read the binary column straight
-    * from parquet — this stands in for that scan.)
+    * [[synthPng]]); audio rows carry REAL WAV payloads (PCM = text
+    * bytes, via [[synthWav]], duration derived from the true sample
+    * count); video rows carry the text bytes as an opaque stand-in
+    * payload. (Real deployments read the binary column straight from
+    * parquet — this stands in for that scan.)
     */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
@@ -170,7 +218,12 @@ object Media {
               MediaMeta("image/png", imageWidth(id), ImageHeight, 0L)
             )
           case 1 =>
-            MediaBlob(id, "audio", bytes, MediaMeta("audio/fake", 0, 0, 1000L + (id % 9000)))
+            MediaBlob(
+              id,
+              "audio",
+              synthWav(bytes),
+              MediaMeta("audio/wav", 0, 0, bytes.length * 1000L / WavSampleRate)
+            )
           case _ =>
             MediaBlob(id, "video", bytes, MediaMeta("video/fake", 128, 72, 2000L + (id % 8000)))
         }

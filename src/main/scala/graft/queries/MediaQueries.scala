@@ -6,11 +6,12 @@ import graft.multimodal.Media
 
 /** Driver registrations for the multimodal tier. Image blobs are REAL
   * PNGs decoded with `javax.imageio` (pixels = the doc's text bytes
-  * extended cyclically — PNG is lossless, so the oracle predicts every
-  * decoded sample); audio/video blobs are ASCII text bytes through the
-  * stub decoder (UTF-8 byte == codepoint for this corpus), so the DuckDB
-  * oracle mirrors every sample-level computation with portable codepoint
-  * comprehensions.
+  * extended cyclically); audio blobs are REAL 8-bit PCM WAVs decoded
+  * with `javax.sound.sampled` (PCM = the doc's text bytes). Both codecs
+  * are lossless, so the oracle predicts every decoded sample. Video
+  * blobs are ASCII text bytes through the stub decoder (UTF-8 byte ==
+  * codepoint for this corpus); in every case the DuckDB oracle mirrors
+  * the sample-level computation with portable codepoint comprehensions.
   */
 object MediaQueries {
   import Q._
@@ -28,7 +29,8 @@ object MediaQueries {
 
   val queries: Map[String, Fn] = Map(
     // mapPartitions-batched decode + feature extraction over binary blobs;
-    // image rows go through a REAL javax.imageio PNG decode.
+    // image rows go through a REAL javax.imageio PNG decode, audio rows
+    // through a REAL javax.sound.sampled WAV decode.
     "m_media_features" -> ((s, dir) =>
       Media
         .extractFeatures(Media.blobs(s, dir))

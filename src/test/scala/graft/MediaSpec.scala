@@ -6,10 +6,12 @@ import graft.functions.TextFeatures
 import graft.multimodal.Media
 
 /** Multimodal plumbing: the image path is a REAL PNG encode→decode round
-  * trip through javax.imageio; the mapPartitions feature path must agree
-  * with the pure-SQL expression path on stub modalities (cross-validates
-  * the imperative batch loop against the codegen'd charHash); and
-  * metadata-only transforms never touch payloads.
+  * trip through javax.imageio, the audio path a REAL WAV encode→decode
+  * round trip through javax.sound.sampled; the mapPartitions feature
+  * path must agree with the pure-SQL expression path on non-image
+  * modalities (cross-validates the imperative batch loop against the
+  * codegen'd charHash — valid for audio because WAV is lossless over the
+  * PCM bytes); and metadata-only transforms never touch payloads.
   */
 class MediaSpec extends SparkSpecBase {
 
@@ -29,7 +31,22 @@ class MediaSpec extends SparkSpecBase {
     }
   }
 
-  test("mapPartitions checksum equals the SQL rolling hash on stub modalities") {
+  test("WAV encode -> javax.sound decode round-trips the PCM bytes exactly") {
+    val text = "The quick brown fox jumps over the lazy dog! 0123456789"
+    val pcm = text.getBytes("UTF-8")
+    val wav = Media.synthWav(pcm)
+    // a real RIFF/WAVE payload, not the raw bytes
+    assert(wav.take(4).sameElements("RIFF".getBytes("US-ASCII")))
+    assert(wav.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")))
+    val d = Media.WavDecoder.decode(wav, Media.MediaMeta("audio/wav", 0, 0, 0L))
+    assert(d.width == 0 && d.height == 0)
+    assert(d.samples.length == pcm.length)
+    d.samples.zipWithIndex.foreach { case (s, i) =>
+      assert((s * 256.0).toInt == (pcm(i) & 0xff), s"sample $i")
+    }
+  }
+
+  test("mapPartitions checksum equals the SQL rolling hash on non-image modalities") {
     val fromBlobs = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
@@ -64,7 +81,7 @@ class MediaSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
-  test("stub decoder produces one sample per payload byte") {
+  test("audio/video decode produces one sample per source text byte") {
     val rows = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
