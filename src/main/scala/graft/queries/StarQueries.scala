@@ -63,7 +63,9 @@ object StarQueries {
           sumCents(col("l_extendedprice")).as("sum_base_price_cents"),
           sum(revUnits).as("sum_disc_price_e4"),
           // charge = extprice*(1-disc)*(1+tax): 6 decimals → 10^-6 units.
-          // Long holds ~9.2e18; at 100 TB switch this column to decimal(38,6).
+          // Long holds ~9.2e18; at 100 TB switch this column to
+          // decimal(38,6) — the switch is registered and oracle-proven
+          // as q1_pricing_summary_decimal below.
           sum(revUnits * round((lit(1) + col("l_tax")) * 100).cast("long"))
             .as("sum_charge_e6"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
@@ -73,6 +75,43 @@ object StarQueries {
           count(lit(1)).as("count_order")
         )
         .orderBy("l_returnflag", "l_linestatus")),
+
+    // The registered decimal(38,6) money path (VERDICT r5 ask #5): the
+    // 100 TB overflow switch the q1 comment documents, proven against
+    // DuckDB's HUGEINT-exact sums. Per-row values stay the exact integer
+    // units (long-safe: ≤ ~2e11 per row); only the SUM — the one
+    // aggregate that can pass 2^63 per group at extreme SF — runs on
+    // decimal(38,0), then the point shifts by an exact decimal
+    // multiplication (no division, no doubles: both engines' decimal
+    // multiply is exact, and 10^-k point shifts are scale moves). Output
+    // is the decimal(38,6) rendered as a string because the comparison
+    // harnesses coerce decimals to float64 (2^53 — losing exactly the
+    // precision this path exists to keep); the string IS the full
+    // 38-digit value. Partial aggregation still applies (decimal sum is
+    // associative); the cost vs the Long path is the wider agg buffer.
+    "q1_pricing_summary_decimal" -> ((s, dir) => {
+      val pointShift = (c: org.apache.spark.sql.Column, shift: String) =>
+        (c * lit(new java.math.BigDecimal(shift))).cast("decimal(38,6)").cast("string")
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(round(col("l_extendedprice") * 100).cast("long").cast("decimal(38,0)")).as("bp_c"),
+          sum(revUnits.cast("decimal(38,0)")).as("dp_e4"),
+          sum((revUnits * round((lit(1) + col("l_tax")) * 100).cast("long")).cast("decimal(38,0)"))
+            .as("ch_e6"),
+          count(lit(1)).as("count_order")
+        )
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          pointShift(col("bp_c"), "0.01").as("sum_base_price_dec"),
+          pointShift(col("dp_e4"), "0.0001").as("sum_disc_price_dec"),
+          pointShift(col("ch_e6"), "0.000001").as("sum_charge_dec"),
+          col("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
 
     // Q3-shape shipping priority: segment-filtered customer (broadcastable
     // at test SF; at 100 TB AQE picks shuffled-hash) ⋈ orders ⋈ lineitem,
@@ -765,8 +804,9 @@ object StarQueries {
     * two's-complement Long semantics, so the oracle COMPARES (and matches)
     * at any scale factor instead of raising on `CAST(HUGEINT AS BIGINT)`.
     * Plain cents sums stay ≤ ~1e15 through sf100 and keep the direct cast.
-    * At 100 TB the Spark side's documented switch is decimal(38,6) per the
-    * q1 note, and the oracle casts would follow.
+    * At 100 TB the Spark side's switch is decimal(38,6) —
+    * `q1_pricing_summary_decimal` registers exactly that path against
+    * DuckDB's HUGEINT-exact sums.
     */
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -778,6 +818,16 @@ object StarQueries {
          |  round(avg(l_quantity), 2) AS avg_qty,
          |  round(sum(${centsSql("l_extendedprice")}) / count(*) / 100.0, 2) AS avg_price,
          |  round(avg(l_discount), 2) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q1_pricing_summary_decimal" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(CAST(CAST(sum(${centsSql("l_extendedprice")}) AS DECIMAL(38,0)) * 0.01 AS DECIMAL(38,6)) AS VARCHAR) AS sum_base_price_dec,
+         |  CAST(CAST(CAST(sum($revUnitsSql) AS DECIMAL(38,0)) * 0.0001 AS DECIMAL(38,6)) AS VARCHAR) AS sum_disc_price_dec,
+         |  CAST(CAST(CAST(sum($revUnitsSql * CAST(round((1 + l_tax) * 100) AS BIGINT)) AS DECIMAL(38,0)) * 0.000001 AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge_dec,
          |  count(*) AS count_order
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
