@@ -26,24 +26,35 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 object BloomFunctions {
 
+  /** The (identifier, info, builder) triples — the single source both
+    * registration paths share (ADVICE r5: the per-session registry and
+    * GraftExtensions.injectFunction previously each carried a copy of
+    * the arity-dispatch block, free to drift silently).
+    */
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (
+        FunctionIdentifier("graft_bloom_agg"),
+        new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(c) => new BloomFilterAggregate(c)
+            case Seq(c, est) => new BloomFilterAggregate(c, est)
+            case other =>
+              throw new IllegalArgumentException(
+                s"graft_bloom_agg expects 1 or 2 args, got ${other.size}")
+          }
+      ),
+      (
+        FunctionIdentifier("graft_might_contain"),
+        new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+        (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
+      )
+    )
+
   /** Idempotent session registration (mirrors SketchExpressions.register). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_bloom_agg"),
-      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
-      (children: Seq[Expression]) =>
-        children match {
-          case Seq(c) => new BloomFilterAggregate(c)
-          case Seq(c, est) => new BloomFilterAggregate(c, est)
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_bloom_agg expects 1 or 2 args, got ${other.size}")
-        }
-    )
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_might_contain"),
-      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
-      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))
-    )
-  }
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

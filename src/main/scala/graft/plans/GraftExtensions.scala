@@ -43,35 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     )
     // Spark's internal runtime-filter bloom expressions, exposed for
     // explicit fact-side semi-join pruning (see BloomFunctions for the
-    // soundness contract; per-session path = BloomFunctions.register).
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_bloom_agg"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
-          "graft_bloom_agg"),
-        (children: Seq[Expression]) =>
-          children match {
-            case Seq(c) =>
-              new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
-            case Seq(c, est) =>
-              new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, est)
-            case other =>
-              throw new IllegalArgumentException(
-                s"graft_bloom_agg expects 1 or 2 args, got ${other.size}")
-          }
-      )
-    )
-    ext.injectFunction(
-      (
-        FunctionIdentifier("graft_might_contain"),
-        new ExpressionInfo(
-          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-          "graft_might_contain"),
-        (children: Seq[Expression]) =>
-          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(children(0), children(1))
-      )
-    )
+    // soundness contract; per-session path = BloomFunctions.register —
+    // both paths register the SAME triples, hoisted there per ADVICE r5).
+    graft.functions.BloomFunctions.registrations.foreach(ext.injectFunction)
     // the GroupedTopK physical strategy, cluster-wide (GroupedTopK.topK
     // also self-registers per-session for extension-less deployments)
     ext.injectPlannerStrategy(_ => new GroupedTopKStrategy)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrde
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Grouped top-k as a first-class operator: logical node → strategy →
   * partial/final physical operators (the SURVEY "custom LogicalPlan +
@@ -107,6 +108,19 @@ case class GroupedTopKExec(
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     child.outputPartitioning
 
+  /** Observability (VERDICT r5 ask #7): `numOutputRows` mirrors every
+    * built-in operator; `capFlushes` counts partial-pass heap flushes
+    * forced by the key cap — the explain/UI signal that the input's key
+    * cardinality exceeded `spark.graft.topk.maxPartialKeys` per task and
+    * the partial pass degraded toward pass-through (the intended
+    * behavior, but one worth SEEING, like HashAggregate's spill metrics).
+    * Always 0 on the final pass, which never flushes.
+    */
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "capFlushes" -> SQLMetrics.createMetric(sparkContext, "partial heap flushes (key cap hit)")
+  )
+
   override def requiredChildDistribution: Seq[org.apache.spark.sql.catalyst.plans.physical.Distribution] =
     if (partial) org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution :: Nil
     else org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution(keys) :: Nil
@@ -131,6 +145,8 @@ case class GroupedTopKExec(
     val limit = k
     val isPartial = partial
     val keyCap = if (partial) maxPartialKeys else Int.MaxValue
+    val numOutputRows = longMetric("numOutputRows")
+    val capFlushes = longMetric("capFlushes")
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // Normalize to UnsafeRow before copying into the heap: plans outside
@@ -171,6 +187,7 @@ case class GroupedTopKExec(
         // Rows are already copies; the array holds refs only.
         val rows = heaps.valuesIterator.flatMap(_.iterator).toArray[InternalRow]
         heaps.clear()
+        numOutputRows += rows.length
         rows.iterator
       }
 
@@ -195,7 +212,7 @@ case class GroupedTopKExec(
             var flushed = false
             while (it.hasNext && !flushed) {
               insert(it.next())
-              if (heaps.size > keyCap) { cur = drain(); flushed = true }
+              if (heaps.size > keyCap) { cur = drain(); capFlushes += 1; flushed = true }
             }
             if (!flushed) { cur = drain(); done = true }
           }

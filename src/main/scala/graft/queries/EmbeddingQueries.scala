@@ -52,12 +52,25 @@ object EmbeddingQueries {
     * 8e9 candidates at sf1, a cap blowout. 16-bit tables (65536 buckets)
     * put bucket occupancy ≈ n/2^16 ≈ 1.6 at sf1, and candidate volume
     * T·n·probes·occupancy stays ~linear; recall lost to the extra bits is
-    * bought back with Hamming-radius-1 multiprobe on one join side (a
-    * near-dup pair whose 16-bit codes differ in ≤1 bit in ANY of the 12
-    * tables is found; the tri-scale + sf1 oracle sweeps verify zero
-    * missed pairs empirically). Past ~10 M vectors, grow bits ~log2(n)
+    * partially bought back with Hamming-radius-1 multiprobe on one join
+    * side (a near-dup pair whose 16-bit codes differ in ≤1 bit in ANY of
+    * the 12 tables is found). Past ~10 M vectors, grow bits ~log2(n)
     * (occupancy-constant) — documented, not auto-tuned: bucket width is
     * a layout decision at 100 TB, like partition count.
+    *
+    * Recall math (ADVICE r5 — the old "≈2e-7" figure belonged to the
+    * 4-bit scheme): per-bit disagreement for a pair at cosine c is
+    * p = acos(c)/π, per-table Hamming-≤1 hit = (1-p)^16 + 16p(1-p)^15,
+    * miss = (1-hit)^12 over the independent tables. At the 0.95
+    * threshold boundary: p ≈ 0.101, hit ≈ 0.51, miss ≈ 0.49^12 ≈ 2e-4.
+    * At 0.97: miss ≈ 5e-6; at 0.99: ≈ 4e-9. The 4-scale oracle sweeps
+    * observe zero missed pairs, but NOTE: the planted near-dups all sit
+    * at cosine ≥ 0.97 (natural pair max ≈ 0.51), so the sweeps do not
+    * exercise the 0.95 boundary — on a corpus with mass near 0.95,
+    * expect ~2e-4 of those boundary pairs dropped. To restore ~1e-8
+    * boundary recall, raise probe radius to 2 (probes 17→137/code, ~8×
+    * candidate volume) or NumTables 12→24 (~2×): recall spends compute,
+    * by design.
     */
   private val NumTables = 12
   private val BitsPerTable = 16
@@ -314,8 +327,11 @@ object EmbeddingQueries {
     }),
 
     // Embedding-cosine near-dup: 12-table sign-LSH bucket join → exact
-    // verify ≥ 0.95. P(banding miss | cos ≥ 0.95) ≈ 2e-7 — the verified
-    // output equals the exact pair set (the oracle).
+    // verify ≥ 0.95. Banding miss probability is threshold-dependent —
+    // ≈2e-4 right at the 0.95 boundary, ≤5e-6 at the ≥0.97 cosines the
+    // test corpus actually contains (full derivation and the knobs to
+    // tighten it are in the sizing note above); the verified output
+    // equals the exact pair set on every swept corpus (the oracle).
     "e_cosine_neardup_pairs" -> ((s, dir) => {
       val cor = nearCorpus(s, dir)
       // one pass of the 48-plane sign-bit computation: the bucket frame

@@ -94,6 +94,49 @@ class GroupedTopKSpec extends SparkSpecBase {
     }
   }
 
+  test("capFlushes metric fires when the partial-key cap forces flushes (and stays 0 otherwise)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import graft.plans.GroupedTopKExec
+
+    def partialExecs(df: org.apache.spark.sql.DataFrame): Seq[GroupedTopKExec] = {
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      def walk(p: SparkPlan): Seq[GroupedTopKExec] =
+        p.collect {
+          case q: QueryStageExec => walk(q.plan)
+          case g: GroupedTopKExec if g.partial => Seq(g)
+        }.flatten
+      walk(finalPlan)
+    }
+
+    val df = spark
+      .range(20000)
+      .select((col("id") % 15000).as("k"), (col("id") * 13 % 97).as("v"), col("id").as("uid"))
+      .repartition(4)
+    def run() = GroupedTopK.topK(df, Seq("k"), Seq(col("v").desc, col("uid").asc), k = 2)
+
+    val old = spark.conf.getOption("spark.graft.topk.maxPartialKeys")
+    spark.conf.set("spark.graft.topk.maxPartialKeys", "32")
+    try {
+      val flushed = partialExecs(run()).map(_.metrics("capFlushes").value).sum
+      // ~15k near-unique keys over 4 tasks at cap 32 → many forced flushes
+      assert(flushed > 10, s"expected cap-forced flushes, saw $flushed")
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxPartialKeys", v)
+        case None => spark.conf.unset("spark.graft.topk.maxPartialKeys")
+      }
+    }
+    // default cap: no flush, and numOutputRows is populated
+    val execs = partialExecs(run())
+    assert(execs.map(_.metrics("capFlushes").value).sum == 0)
+    assert(execs.map(_.metrics("numOutputRows").value).sum > 0)
+  }
+
   test("property: equals the window formulation on random skewed data, several seeds and ks") {
     val session = spark
     import session.implicits._
