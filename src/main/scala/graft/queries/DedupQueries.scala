@@ -148,18 +148,24 @@ object DedupQueries {
     * postings semi-join against that set, and every collect_list group
     * is ≤ MaxDF by construction.
     *
-    * The semi-join is a co-partitioned shuffle join on s, NOT the forced
-    * broadcast a first sketch suggests: rare shingles are the LARGE side
-    * of the df split (most shingles are rare; stop-shingles are few), so
-    * broadcasting the kept set would itself be the driver OOM at corpus
-    * scale. All three hops (df agg, semi-join, pair agg) hash-partition
-    * on s — the exchange over the postings is planned once and reused
-    * (ReusedExchange), and the join output feeds the pair aggregate with
-    * no further shuffle. The ≤C(MaxDF,2)=45 pairs per kept shingle
-    * expand inline in codegen; pair structs are order-independent
-    * (a < b), so collect_list's nondeterministic order never shows.
-    * Semantics (and the oracle) unchanged: candidacy df-capped, Jaccard
-    * from FULL sets, threshold on the raw double.
+    * The semi-join is deliberately hint-free, NOT the forced broadcast
+    * a first sketch suggests: rare shingles are the LARGE side of the
+    * df split at corpus scale (most shingles are rare; stop-shingles
+    * are few), so a forced broadcast of the kept set would itself be
+    * the driver OOM at 100 TB. At bench SFs AQE sees the rare set is
+    * tiny and broadcasts it (verified in the executed plan); at scale
+    * the same query degrades to a plain shuffle join on s whose output
+    * partitioning already satisfies the pair aggregate's distribution —
+    * no exchange between join and agg. The measured cost of the
+    * pre-pass is one extra pass + shuffle over the postings for the df
+    * count (~2× the old single-agg wall-clock at sf0.1, 5 s vs 2.3 s) —
+    * the price of never materializing a stop-shingle's posting list in
+    * an agg buffer, paid where MinHash remains the declared scale path.
+    * The ≤C(MaxDF,2)=45 pairs per kept shingle expand inline in
+    * codegen; pair structs are order-independent (a < b), so
+    * collect_list's nondeterministic order never shows. Semantics (and
+    * the oracle) unchanged: candidacy df-capped, Jaccard from FULL
+    * sets, threshold on the raw double.
     */
   private[graft] def ngramCandidates(sets: DataFrame): DataFrame = {
     val ex = sets.select(col("doc_id"), explode(col("hs")).as("s"))
