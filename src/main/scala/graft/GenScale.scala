@@ -91,9 +91,10 @@ object GenScale {
     scaled("part")(_.withColumn("p_partkey", col("p_partkey") + col("__c") * nPart))
     scaled("supplier")(_.withColumn("s_suppkey", col("s_suppkey") + col("__c") * nSupp))
 
-    // events: nanos → micros timestamp (identical truncation to Q.events)
+    // events: normalize ts to TIMESTAMP micros whatever the source
+    // encoding (nanos-long / NTZ / LTZ) — same dispatch as Q.events
     scaled("events") { df =>
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.queries.Q.normalizeEventTs(df)
         .withColumn("event_id", col("event_id") + col("__c") * nEv)
         .withColumn("user_id", col("user_id") + col("__c") * nCust)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")

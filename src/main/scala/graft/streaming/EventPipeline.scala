@@ -217,18 +217,21 @@ object EventPipeline {
     * directories) and reads it with the batch-inferred schema.
     */
   def replayAsStream(spark: SparkSession, parquetFile: String): DataFrame = {
-    // events ships TIMESTAMP(NANOS): the session must be created with
-    // spark.sql.legacy.parquet.nanosAsLong=true (set in the mains/test base)
+    // the corpus has shipped `ts` as INT64 nanos, TIMESTAMP_NTZ micros,
+    // and TIMESTAMP micros across driver regenerations — normalize by
+    // dtype exactly as the batch reader does (graft.queries.Q.events),
+    // so stream/batch unification holds under any encoding
     val schema = spark.read.parquet(parquetFile).schema
     val dir = java.nio.file.Files.createTempDirectory("events-replay")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(parquetFile),
       dir.resolve("part-0.parquet")
     )
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.queries.Q.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir.toString)
+    )
   }
 }
