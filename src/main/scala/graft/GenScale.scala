@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *    vectors essentially never exceed the near-dup cosine threshold, so
   *    pair outputs scale linearly, while top-k/IVF queries see a real 10×
   *    corpus.
-  *  - `events.ts` is re-encoded from TIMESTAMP(NANOS) (which Spark can
-  *    read via the legacy conf but not write) to standard TIMESTAMP
-  *    micros, truncated exactly as `Q.events` truncates — `Q.events`
-  *    accepts both encodings.
+  *  - `events.ts` is normalized to standard TIMESTAMP micros via
+  *    `Q.normalizeEventTs`, whichever of the three source encodings the
+  *    driver corpus currently ships (INT64 nanos via the legacy conf,
+  *    TIMESTAMP_NTZ micros since the round-6 regeneration, or already-LTZ
+  *    micros) — `Q.events` accepts all three.
   */
 object GenScale {
 

@@ -12,19 +12,21 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed per-partition.
   *
-  * The IMAGE and AUDIO paths are REAL end-to-end, both on JDK-builtin
-  * codecs (no native deps): the corpus builder synthesizes genuine PNG
-  * payloads (`javax.imageio`) and genuine RIFF/WAV payloads (8-bit
-  * unsigned PCM mono via `javax.sound.sampled`), and
-  * [[Media.ImageIoDecoder]] / [[Media.WavDecoder]] decode them back to
+  * All THREE modality paths are REAL at the container/codec layer, on
+  * JDK-only code (no native deps): the corpus builder synthesizes
+  * genuine PNG payloads (`javax.imageio`), genuine RIFF/WAV payloads
+  * (8-bit unsigned PCM mono via `javax.sound.sampled`), and genuine
+  * ISO BMFF MP4 containers ([[Mp4.synth]]); [[Media.ImageIoDecoder]] /
+  * [[Media.WavDecoder]] / [[Media.Mp4Decoder]] decode them back to
   * sample streams, so `m_media_features`/`m_resize_pool` compute real
-  * pixel and real PCM statistics through real codecs. Both codecs are
+  * pixel/PCM/demuxed statistics through real parsers. All three are
   * lossless and the samples are a deterministic function of the source
-  * text, so the DuckDB oracle still predicts every decoded value.
-  * VIDEO decode (container demux) genuinely needs native codec
-  * libraries that are NOT in this container, so that one modality keeps
-  * the clearly-marked [[Media.StubDecoder]] fake (one sample per
-  * payload byte).
+  * text, so the DuckDB oracle still predicts every decoded value. The
+  * one honest limitation left: video FRAME decode of real codec
+  * bitstreams (H.264 etc.) needs native libraries absent from this
+  * container, so the MP4's `mdat` carries raw sample bytes (identity
+  * codec) — the container demux (box walk, fixed-point geometry,
+  * timescale arithmetic) is fully real; see [[Mp4]].
   *
   * What is real and tested for every modality: the schema (binary +
   * metadata struct), the `Dataset[MediaBlob]` encoders, the
@@ -69,16 +71,18 @@ object Media {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded
   }
 
-  /** STUB — deterministic fake standing in for the native VIDEO demux
-    * codecs, which are unavailable in this container (image and audio
-    * use real JDK codecs). It maps each payload byte to [0, 1), which
-    * keeps the full pipeline (batching, feature extraction, checksums)
-    * executable and reproducible. Geometry is whatever the metadata
-    * declares.
+  /** REAL video demuxer: walks the ISO BMFF box tree ([[Mp4.demux]]) —
+    * geometry comes from `tkhd`'s 16.16 fixed-point fields and the
+    * sample stream from the `mdat` payload, NOT from the side-channel
+    * metadata struct. The codec layer is the identity raw codec (one
+    * sample per `mdat` byte) — frame decode of compressed bitstreams
+    * would need native libraries this container lacks.
     */
-  object StubDecoder extends Decoder {
-    def decode(content: Array[Byte], meta: MediaMeta): Decoded =
-      Decoded(content.map(b => (b & 0xff) / 256.0), meta.width, meta.height)
+  object Mp4Decoder extends Decoder {
+    def decode(content: Array[Byte], meta: MediaMeta): Decoded = {
+      val info = Mp4.demux(content)
+      Decoded(info.data.map(b => (b & 0xff) / 256.0), info.widthPx, info.heightPx)
+    }
   }
 
   /** REAL image decoder: `javax.imageio` PNG/BMP/JPEG decode to grayscale
@@ -131,16 +135,17 @@ object Media {
     }
   }
 
-  /** Default routing decoder: real codec where one exists (images and
-    * WAV audio via the JDK), stub for video — the seam where a demux
-    * decoder slots in once its libraries are available.
+  /** Default routing decoder: a real parser per modality — `javax.imageio`
+    * for images, `javax.sound.sampled` for WAV audio, the [[Mp4]] box-walk
+    * demuxer for MP4 video. Unknown mime types fail loudly: silently
+    * faking a decode is how bad bytes poison a 100 TB corpus.
     */
   object ModalityDecoder extends Decoder {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded =
-      if (meta.mime.startsWith("image/") && meta.mime != "image/fake")
-        ImageIoDecoder.decode(content, meta)
+      if (meta.mime.startsWith("image/")) ImageIoDecoder.decode(content, meta)
       else if (meta.mime == "audio/wav") WavDecoder.decode(content, meta)
-      else StubDecoder.decode(content, meta)
+      else if (meta.mime == "video/mp4") Mp4Decoder.decode(content, meta)
+      else sys.error(s"no decoder for mime '${meta.mime}'")
   }
 
   /** Image geometry for the synthesized corpus: height fixed at 32, width
@@ -197,9 +202,10 @@ object Media {
     * carry REAL PNG payloads (pixels = text bytes, cyclic, via
     * [[synthPng]]); audio rows carry REAL WAV payloads (PCM = text
     * bytes, via [[synthWav]], duration derived from the true sample
-    * count); video rows carry the text bytes as an opaque stand-in
-    * payload. (Real deployments read the binary column straight from
-    * parquet — this stands in for that scan.)
+    * count); video rows carry REAL MP4 containers (raw sample bytes in
+    * `mdat`, geometry/duration in `tkhd`/`mvhd`, via [[Mp4.synth]]).
+    * (Real deployments read the binary column straight from parquet —
+    * this stands in for that scan.)
     */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
@@ -225,7 +231,13 @@ object Media {
               MediaMeta("audio/wav", 0, 0, bytes.length * 1000L / WavSampleRate)
             )
           case _ =>
-            MediaBlob(id, "video", bytes, MediaMeta("video/fake", 128, 72, 2000L + (id % 8000)))
+            val durMs = 2000L + (id % 8000)
+            MediaBlob(
+              id,
+              "video",
+              Mp4.synth(bytes, 128, 72, durMs),
+              MediaMeta("video/mp4", 128, 72, durMs)
+            )
         }
       }
   }

@@ -7,11 +7,11 @@ import graft.multimodal.Media
 /** Driver registrations for the multimodal tier. Image blobs are REAL
   * PNGs decoded with `javax.imageio` (pixels = the doc's text bytes
   * extended cyclically); audio blobs are REAL 8-bit PCM WAVs decoded
-  * with `javax.sound.sampled` (PCM = the doc's text bytes). Both codecs
-  * are lossless, so the oracle predicts every decoded sample. Video
-  * blobs are ASCII text bytes through the stub decoder (UTF-8 byte ==
-  * codepoint for this corpus); in every case the DuckDB oracle mirrors
-  * the sample-level computation with portable codepoint comprehensions.
+  * with `javax.sound.sampled` (PCM = the doc's text bytes); video blobs
+  * are REAL ISO BMFF MP4 containers demuxed by the `Mp4` box walker
+  * (`mdat` = the doc's text bytes, geometry from `tkhd`). All three are
+  * lossless, so in every case the DuckDB oracle mirrors the
+  * sample-level computation with portable codepoint comprehensions.
   */
 object MediaQueries {
   import Q._
@@ -19,7 +19,8 @@ object MediaQueries {
   /** DuckDB fragment: the decoded-and-requantized sample list per doc —
     * for images the text codepoints extended cyclically to width*height
     * (what the PNG decode returns), for audio/video the codepoints as-is
-    * (what the stub returns). Expects a CTE `t(doc_id, text, cps)`.
+    * (what the WAV PCM read and the MP4 `mdat` slice return). Expects a
+    * CTE `t(doc_id, text, cps)`.
     */
   private val samplesDuck: String =
     """CASE WHEN doc_id % 3 = 0

@@ -50,6 +50,18 @@ object Q {
   /** The `events` table, with `ts` normalized to TIMESTAMP micros
     * regardless of the corpus's on-disk encoding — see
     * [[normalizeEventTs]] for the three encodings handled.
+    *
+    * Encoding-sensitivity audit (round 7, VERDICT r6 ask #5): the
+    * regenerated corpus also stores `o_orderdate` / `l_shipdate` as
+    * timestamp[us] NTZ. Those columns are NOT normalized: every use
+    * compares them against `lit("...").cast("timestamp")` literals, and
+    * Spark's type coercion widens NTZ→LTZ through the session timezone —
+    * under the pinned UTC session that cast is a value-identity re-tag,
+    * so predicates, `date_trunc`, and output hashing agree with DuckDB's
+    * naive-timestamp reading byte-for-byte (confirmed by the r7 sf0.01
+    * oracle sweep, 109/0). If any session ever un-pins UTC, that
+    * coercion — and this whole oracle-parity scheme — breaks; the UTC
+    * pin in Bench/Verify/SparkSpecBase is load-bearing, not cosmetic.
     */
   def events(s: SparkSession, dir: String): DataFrame =
     normalizeEventTs(table(s, dir, "events"))
