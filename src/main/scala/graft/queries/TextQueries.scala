@@ -496,6 +496,41 @@ object TextQueries {
         )
     }),
 
+    // Heavy hitters (frequent words): every word with ≥ 0.2 % of all
+    // token occurrences, EXACTLY — via the two-phase candidate+verify
+    // shape this repo uses for LSH near-dup. Phase 1 runs Spark 4's
+    // native DataSketches frequent-items aggregate (`approx_top_k`):
+    // mergeable, map-side partial, state bounded at maxItemsTracked
+    // counters — at 100 TB the full-vocabulary groupBy below could not
+    // be the FIRST pass (the shuffle would carry every rare word; here
+    // only a ≤1024-row candidate list leaves the sketch). The sizing is
+    // a proof, not a hope: with m=8192 counters the sketch's guaranteed
+    // error is ε ≤ 3.5/m ≈ 0.000427 of N, so any true ≥0.002N word is
+    // tracked, and items estimated above such a word have true freq
+    // ≥ (0.002−ε)N ≈ 0.00157N — at most ~637 of them, inside the k=1024
+    // cut. Phase 2 exact-counts ONLY the candidates (broadcast semi-join
+    // prunes the shuffle to candidate words) and filters on the true
+    // threshold, so false candidates die and the output equals the plain
+    // exact GROUP BY/HAVING the oracle runs. Total-token count is a
+    // 1-row broadcast, same as t_tfidf's doc count.
+    "t_heavy_hitter_words" -> ((s, dir) => {
+      val words = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+      val candidates = words
+        .agg(expr("approx_top_k(w, 1024, 8192)").as("tk"))
+        .select(explode(col("tk")).as("c"))
+        .select(col("c.item").as("w"))
+      val total = words.agg(count(lit(1)).as("n_total"))
+      words
+        .join(broadcast(candidates), Seq("w"), "leftsemi")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_occurrences") * 500 >= col("n_total"))
+        .select(col("w"), col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("w"))
+    }),
+
     // Boilerplate removal (C4/RefinedWeb-style, at paragraph granularity):
     // docs are chunked into consecutive 10-word spans (pure per-row
     // transform — no shuffle to produce chunks) and a chunk occurring in
@@ -599,6 +634,16 @@ object TextQueries {
         |  quantile_cont(n_chars, 0.9) AS exact_p90,
         |  true AS kll_p50_within_5pct, true AS kll_p90_within_5pct
         |FROM documents""".stripMargin,
+    // The sketch phase only GENERATES candidates; the registered output
+    // is the exact heavy-hitter set, so the oracle is the plain
+    // GROUP BY/HAVING it provably equals.
+    "t_heavy_hitter_words" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |t AS (SELECT count(*) AS n_total FROM w)
+        |SELECT w, count(*) AS n_occurrences
+        |FROM w GROUP BY w
+        |HAVING count(*) * 500 >= (SELECT n_total FROM t)
+        |ORDER BY n_occurrences DESC, w""".stripMargin,
     "t_boilerplate_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |n AS (SELECT doc_id, ws, CAST(ceil(len(ws) / 10.0) AS INT) AS nc FROM d),

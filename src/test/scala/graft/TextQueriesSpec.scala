@@ -30,6 +30,32 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("heavy hitters: sketch candidate+verify equals the exact GROUP BY/HAVING") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries
+      .queries("t_heavy_hitter_words")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("n_occurrences")))
+    assert(rows.nonEmpty)
+    // exact reference computed the naive way (full-vocabulary shuffle)
+    val words = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+    val nTotal = words.count()
+    val exact = words
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") * 500 >= nTotal)
+      .collect()
+      .map(r => (r.getAs[String]("w"), r.getAs[Long]("n")))
+      .toSet
+    assert(rows.toSet == exact)
+    // and the declared ordering: count desc, word asc on ties
+    rows.zip(rows.tail).foreach { case ((wa, na), (wb, nb)) =>
+      assert(na > nb || (na == nb && wa < wb))
+    }
+  }
+
   test("decontamination finds every planted train→test overlap") {
     val rows = TextQueries.queries("t_ngram_decontaminate")(spark, Sf0001).collect()
     val found = rows
