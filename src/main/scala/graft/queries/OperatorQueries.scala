@@ -195,7 +195,9 @@ object OperatorQueries {
       val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
       val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
       // The per-(u1,u2) pair set is inherently QUADRATIC in co-active
-      // sessions (112M pairs at sf1) — materializing it as the query
+      // sessions (112.1M pairs from ~955K sessions at sf1 — re-measured
+      // round 7 on the regenerated NTZ corpus; the round-5 corpus gave
+      // the same ~112M) — materializing it as the query
       // output is the scale antipattern. The driver-visible form instead
       // reduces the full pair set to 64 bucket rows carrying an order-free
       // integer checksum: any wrong, missing, or duplicated pair changes

@@ -63,6 +63,28 @@ class Mp4Spec extends AnyFunSuite {
     intercept[IllegalArgumentException](Mp4.demux(payload))
   }
 
+  test("round-trip holds for arbitrary payloads, geometry, and durations") {
+    val prop = org.scalacheck.Prop.forAll(
+      org.scalacheck.Gen.containerOf[Array, Byte](
+        org.scalacheck.Gen.choose(Byte.MinValue, Byte.MaxValue)
+      ),
+      org.scalacheck.Gen.choose(0, 0x7fff),
+      org.scalacheck.Gen.choose(0, 0x7fff),
+      org.scalacheck.Gen.choose(0L, Int.MaxValue.toLong)
+    ) { (data, w, h, ms) =>
+      val info = Mp4.demux(Mp4.synth(data, w, h, ms))
+      info.widthPx == w && info.heightPx == h &&
+      info.durationMs == ms && info.data.toSeq == data.toSeq
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default
+        .withMinSuccessfulTests(200)
+        .withInitialSeed(org.scalacheck.rng.Seed(42L)),
+      prop
+    )
+    assert(res.passed, res.status.toString)
+  }
+
   test("Mp4Decoder reads geometry from tkhd, not from the metadata struct") {
     // deliberately contradictory metadata: the container must win
     val meta = Media.MediaMeta("video/mp4", 999, 999, 1L)
