@@ -410,6 +410,46 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Sequence packing — lay documents out into fixed-capacity training
+    // bins (C = 512 whitespace tokens) in deterministic (source, doc_id)
+    // order: bin = exclusive-prefix-token-sum div C, i.e. the
+    // concat-in-order layout where a boundary document belongs to the
+    // bin its FIRST token lands in (the document-boundary-preserving
+    // packing used when trainers tolerate slight bin overflow or
+    // truncate it). Chosen over strict greedy first-fit DELIBERATELY:
+    // greedy's bin state is a non-associative reset-scan — inherently
+    // sequential, no partial aggregation, no window form — while this
+    // layout is ONE window cumsum, so both engines compute it exactly
+    // and it parallelizes per source shard. Scale: the window shuffles
+    // on source and sorts within shard — packing order is per-shard
+    // sequential by definition, so shard granularity (here `source`; a
+    // real corpus adds a date/part key) IS the parallelism knob.
+    // Output: per-bin manifest (docs, tokens, fill, overflow) — what a
+    // downstream batch loader consumes.
+    "t_sequence_packing" -> ((s, dir) => {
+      val C = 512L
+      val w = Window
+        .partitionBy(col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      table(s, dir, "documents")
+        .select(
+          col("source"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")
+        )
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("bin_id", expr(s"cum_before div $C"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc")
+        )
+        .orderBy("source", "bin_id")
+    }),
+
     // Per-source contribution cap — the corpus-mixing rule "no single
     // source dominates": keep the 15 longest docs per source (doc_id
     // tie-break), report the capped per-source footprint. Runs on the
@@ -634,6 +674,18 @@ object TextQueries {
         |  quantile_cont(n_chars, 0.9) AS exact_p90,
         |  true AS kll_p50_within_5pct, true AS kll_p90_within_5pct
         |FROM documents""".stripMargin,
+    "t_sequence_packing" ->
+      """WITH d AS (SELECT source, doc_id,
+        |             len(string_split(text, ' ')) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM d)
+        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The sketch phase only GENERATES candidates; the registered output
     // is the exact heavy-hitter set, so the oracle is the plain
     // GROUP BY/HAVING it provably equals.
