@@ -183,8 +183,18 @@ object EmbeddingQueries {
     // set; candidates = vectors in probed cells only.
     "e_ivf_topk" -> ((s, dir) => {
       val all = vecs(s, dir)
+      // IVF-standard centroid count k ≈ √n, same growth law as
+      // e_kmeans_ivf_topk's seed (floored at 50 so small scales keep
+      // their previous exact results). The round-7 sf10 probe caught the
+      // old fixed `% 50` seed making k LINEAR in n: assignment cost
+      // n·k = n²/50 — ~760 s at sf10 (200K vectors × 4000 centroids)
+      // vs 4.2 s at sf1. With k ≈ √n the assignment is n^1.5: the same
+      // "bucket count must track corpus size" law the round-5 sf1 sweep
+      // established for the sign-LSH tables.
+      val nVec = table(s, dir, "embeddings").count()
+      val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
       val cent = all
-        .filter(col("vec_id") % 50 === 0)
+        .filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
       // assign every vector to its nearest centroid — single-pass argmax
       // (max over (cos, -cid) structs == ORDER BY cos DESC, cid LIMIT 1)
@@ -432,7 +442,9 @@ object EmbeddingQueries {
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_ivf_topk" ->
       s"""$vecsCte,
-         |cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS cid, v, nrm FROM n
+         |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |                         FROM embeddings) = 0),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT x.vec_id, c.cid,
          |    row_number() OVER (PARTITION BY x.vec_id
