@@ -53,17 +53,29 @@ object EmbeddingQueries {
     * put bucket occupancy ≈ n/2^16 ≈ 1.6 at sf1, and candidate volume
     * T·n·probes·occupancy stays ~linear; recall lost to the extra bits is
     * partially bought back with Hamming-radius-1 multiprobe on one join
-    * side (a near-dup pair whose 16-bit codes differ in ≤1 bit in ANY of
-    * the 12 tables is found). Past ~10 M vectors, grow bits ~log2(n)
-    * (occupancy-constant) — documented, not auto-tuned: bucket width is
-    * a layout decision at 100 TB, like partition count.
+    * side (a near-dup pair whose per-table codes differ in ≤1 bit in ANY
+    * of the 12 tables is found). Bits-per-table GROWS with the corpus:
+    * `max(16, ceil(log2 n))` — occupancy-constant, so candidate volume
+    * T·n·(bits+1)·occupancy stays ~n·log n instead of the n²·T/2^bits a
+    * fixed table width decays to (the round-7 sf10 probe measured that
+    * decay: occupancy ≈ 3 at 225K vectors, 122M exact-verify dots,
+    * 324 s median; 18-bit tables measured 28 s — 11.6×, the candidate
+    * cut compounding with the smaller distinct/shuffle volume). Every
+    * oracle-checked scale (≤ sf1) sits under the 16-bit floor, so
+    * checked results are bit-identical to the fixed-width scheme.
     *
     * Recall math (ADVICE r5 — the old "≈2e-7" figure belonged to the
     * 4-bit scheme): per-bit disagreement for a pair at cosine c is
     * p = acos(c)/π, per-table Hamming-≤1 hit = (1-p)^16 + 16p(1-p)^15,
     * miss = (1-hit)^12 over the independent tables. At the 0.95
     * threshold boundary: p ≈ 0.101, hit ≈ 0.51, miss ≈ 0.49^12 ≈ 2e-4.
-    * At 0.97: miss ≈ 5e-6; at 0.99: ≈ 4e-9. The 4-scale oracle sweeps
+    * At 0.97: miss ≈ 5e-6; at 0.99: ≈ 4e-9. (Those figures are for the
+    * 16-bit floor, i.e. every oracle-checked scale; above the floor the
+    * same formula applies with the grown bit count — e.g. 18 bits at
+    * 225K vectors gives boundary miss ≈ 9e-4, ≥0.97 miss ≈ 3e-5 — the
+    * compute/recall trade spends recall headroom to stay off the
+    * quadratic, recoverable via radius 2 or more tables as below.)
+    * The 4-scale oracle sweeps
     * observe zero missed pairs, but NOTE: the planted near-dups all sit
     * at cosine ≥ 0.97 (natural pair max ≈ 0.51), so the sweeps do not
     * exercise the 0.95 boundary — on a corpus with mass near 0.95,
@@ -73,28 +85,36 @@ object EmbeddingQueries {
     * by design.
     */
   private val NumTables = 12
-  private val BitsPerTable = 16
+
+  /** 16-bit floor keeps every oracle-verified scale on its recorded
+    * plane set; ceil(log2 n) above it holds bucket occupancy ≈ 1.
+    */
+  private def bitsForCorpus(n: Long): Int =
+    math.max(16, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1L)))
 
   /** Fixed-point scale (2^20) for k-means centroid arithmetic — see
     * `e_kmeans_ivf_topk`. */
   private val QScale = 1048576L
   private val KMeansIters = 2
-  private[queries] lazy val planesFlat: IndexedSeq[Double] = {
+  private[queries] def planesFlat(bits: Int): IndexedSeq[Double] = {
     val rnd = new scala.util.Random(424242L)
-    IndexedSeq.fill(NumTables * BitsPerTable * 64)(rnd.nextDouble() * 2 - 1)
+    // at bits = 16 this reproduces the round-5 plane set exactly (same
+    // seed, same draw count/order) — the basis of the bit-identical
+    // claim above
+    IndexedSeq.fill(NumTables * bits * 64)(rnd.nextDouble() * 2 - 1)
   }
 
   /** (vec_id, t, bucket) — one row per vector per hash table: broadcast
     * plane join → per-(vector, table) sign-bit assembly. One narrow
     * groupBy on (vec_id, t); no giant literals in the plan.
     */
-  private def lshBuckets(cor: DataFrame): DataFrame = {
+  private def lshBuckets(cor: DataFrame, bits: Int): DataFrame = {
     val session = cor.sparkSession
     import session.implicits._
-    val planes = planesFlat
+    val planes = planesFlat(bits)
       .grouped(64)
       .zipWithIndex
-      .map { case (cs, p) => (p / BitsPerTable, p % BitsPerTable, cs.toArray) }
+      .map { case (cs, p) => (p / bits, p % bits, cs.toArray) }
       .toSeq
       .toDF("t", "j", "coeffs")
     cor
@@ -348,19 +368,20 @@ object EmbeddingQueries {
       // self-joins (two consumers), and the corpus feeds three subplans
       // (both bucket sides via bk, both verify sides) — materialize the
       // buckets so the plane dot products run once
-      val bk = lshBuckets(cor).localCheckpoint()
-      // Hamming-≤1 multiprobe: the probe side expands each 16-bit code to
-      // itself + its 16 single-bit flips, so a pair differing in ≤1 bit of
-      // SOME table collides. Probe volume is 17·T·n rows — linear — and
-      // the equi-join output is bounded by probes × bucket occupancy
-      // (≈1.6 at sf1), never the n²/buckets of a plain self-join on
-      // under-sized buckets.
+      val bits = bitsForCorpus(cor.count())
+      val bk = lshBuckets(cor, bits).localCheckpoint()
+      // Hamming-≤1 multiprobe: the probe side expands each per-table code
+      // to itself + its `bits` single-bit flips, so a pair differing in
+      // ≤1 bit of SOME table collides. Probe volume is (bits+1)·T·n rows
+      // — ~n·log n — and the equi-join output is bounded by probes ×
+      // bucket occupancy (held ≈1 by bitsForCorpus), never the n²/buckets
+      // of a plain self-join on under-sized buckets.
       val probes = bk.select(
         col("t"),
         col("vec_id").as("vec_a"),
         explode(
           expr(
-            s"concat(array(bucket), transform(sequence(0, ${BitsPerTable - 1}), " +
+            s"concat(array(bucket), transform(sequence(0, ${bits - 1}), " +
               "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))"
           )
         ).as("bucket")
