@@ -460,29 +460,62 @@ object DedupQueries {
     // (exact for hamming ≤ 3), then the distance itself.
     "d_simhash_pairs" -> ((s, dir) => {
       graft.functions.SketchExpressions.register(s)
-      // fingerprints over the same checkpointed hashed-shingle sets the
-      // other dedup queries share (both band-join sides reuse one copy)
+      // TWO simhash passes over the same checkpointed hashed-shingle
+      // sets: the shingle hashes live in [0, P) = 30 effective bits, so
+      // a single simhash32 carries 30 fingerprint bits and hamming-≤3
+      // pigeonhole bands could be at most ~2^7.5 wide — a FIXED bucket
+      // space whose band self-join grows as 4·n²/256: ≈5×10⁹ candidate
+      // rows at the sf10 probe's 571K docs by the same analysis the
+      // probe CONFIRMED on the IVF/LSH queries (the third instance of
+      // the fixed-size-bucket disease; this one was caught by analysis
+      // before the probe could time it).
+      // The second pass runs simhash32 over an affine remix
+      // (a·h + b) mod P of every shingle hash (exact in BIGINT on both
+      // engines: a, h < P ⇒ a·h < 2^60), yielding 30 more independent
+      // fingerprint bits. 60 effective bits split into 4 bands × 15
+      // bits (32768 buckets/band): candidates ≈ 4·n²/2^15 = n²/8192 —
+      // 128× fewer than the 8-bit bands — and the pigeonhole still
+      // covers every bit position where fingerprints can differ, so a
+      // hamming-≤3 pair matches ≥1 band exactly. Band width is a layout
+      // decision like the LSH table width: widen by adding remix passes
+      // (30 bits each) as the corpus grows. Semantics: hamming is now
+      // measured over the 60-bit fingerprint — more discriminative than
+      // the old 30-bit variant at the same ≤3 threshold (exact copies
+      // stay hamming 0; the recall-oriented near-dup path is MinHash).
       val fps = hashedSets(s, dir)
-        .withColumn("fp", expr("simhash32(hs)"))
-        .select(col("doc_id"), col("fp"))
+        .withColumn("lo", expr("simhash32(hs)"))
+        .withColumn(
+          "hi",
+          expr("simhash32(transform(hs, h -> (314159265L * h + 271828182L) % 1000000007L))")
+        )
+        .select(col("doc_id"), col("lo"), col("hi"))
       val bands = fps.select(
         col("doc_id"),
-        col("fp"),
+        col("lo"),
+        col("hi"),
         explode(
-          expr("transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(fp, b * 8) AS BIGINT) % 256 AS bkey))")
+          expr(
+            "array(struct(0 AS band, lo & 32767L AS bkey), " +
+              "struct(1 AS band, shiftright(lo, 15) & 32767L AS bkey), " +
+              "struct(2 AS band, hi & 32767L AS bkey), " +
+              "struct(3 AS band, shiftright(hi, 15) & 32767L AS bkey))"
+          )
         ).as("bk")
-      ).select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      ).select(col("doc_id"), col("lo"), col("hi"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
       bands
-        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
         .join(
-          bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+          bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b"),
+            col("lo").as("lo_b"), col("hi").as("hi_b")),
           Seq("band", "bkey")
         )
         .filter(col("doc_a") < col("doc_b"))
         .select(
           col("doc_a"),
           col("doc_b"),
-          bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int").as("hamming")
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int").as("hamming")
         )
         .distinct()
         .filter(col("hamming") <= 3)
@@ -610,14 +643,19 @@ object DedupQueries {
          |, rep AS (SELECT n AS id, least(n, min(m)) AS rep FROM reach GROUP BY n)
          |SELECT rep AS cluster, count(*) AS n_docs, max(id) AS max_doc
          |FROM rep GROUP BY rep ORDER BY cluster""".stripMargin,
+    // All-pairs mirror of BOTH simhash passes (the banding is Spark-side
+    // candidate generation only); the remix list comprehension is the
+    // exact BIGINT affine map the Spark lambda computes.
     "d_simhash_pairs" ->
       s"""$corpusCte
          |$shingleCte
-         |, fps AS (SELECT doc_id, ${simhashDuck("hs")} AS fp FROM hsl)
+         |, fps AS (SELECT doc_id, ${simhashDuck("hs")} AS lo,
+         |            ${simhashDuck("[(314159265 * g + 271828182) % 1000000007 for g in hs]")} AS hi
+         |          FROM hsl)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+         |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
