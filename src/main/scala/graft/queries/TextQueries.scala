@@ -574,12 +574,16 @@ object TextQueries {
     // Boilerplate removal (C4/RefinedWeb-style, at paragraph granularity):
     // docs are chunked into consecutive 10-word spans (pure per-row
     // transform — no shuffle to produce chunks) and a chunk occurring in
-    // ≥3 DISTINCT docs is boilerplate. The boilerplate set is tiny
-    // relative to the corpus (frequent spans are by definition few), so
-    // it re-joins as a broadcast left-semi — at 100 TB the only wide
-    // exchange is the chunk df-count; no doc text is ever shuffled
-    // (chunks are, hashed in the scale variant; strings here so DuckDB
-    // can mirror them).
+    // ≥3 DISTINCT docs is boilerplate. The boilerplate set re-joins as a
+    // HINT-FREE left-semi (round-7 audit): it is small relative to the
+    // corpus but NOT bounded by construction — it grows with corpus-wide
+    // template mass, so a forced broadcast is the driver-OOM risk the
+    // n-gram df query already documents; AQE broadcasts it at bench
+    // scales (verified: same plan) and degrades to a shuffle join when
+    // it outgrows the threshold. At 100 TB the wide exchanges are the
+    // chunk df-count and, then, that semi-join; no doc text is ever
+    // shuffled (chunks are, hashed in the scale variant; strings here so
+    // DuckDB can mirror them).
     "t_boilerplate_chunks" -> ((s, dir) => {
       val chunked = table(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -597,7 +601,7 @@ object TextQueries {
         .filter(col("df") >= 3)
         .select(col("chunk"))
       val perDoc = ch
-        .join(broadcast(boiler), Seq("chunk"), "left_semi")
+        .join(boiler, Seq("chunk"), "left_semi")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_boiler_chunks"))
       chunked
