@@ -211,7 +211,7 @@ object EmbeddingQueries {
       // vs 4.2 s at sf1. With k ≈ √n the assignment is n^1.5: the same
       // "bucket count must track corpus size" law the round-5 sf1 sweep
       // established for the sign-LSH tables.
-      val nVec = table(s, dir, "embeddings").count()
+      val nVec = cachedRowCount(s, dir, "embeddings")
       val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
       val cent = all
         .filter(col("vec_id") % seedMod === 0)
@@ -306,10 +306,11 @@ object EmbeddingQueries {
       // IVF-standard centroid count k ≈ √n: the seed modulus grows with
       // the corpus (floored at 50 so small scales keep their previous
       // exact results), so Lloyd assignment work is n·k ≈ n^1.5 instead
-      // of n²/50 — at sf1 this is 316 centroids (not 2000), a ~6× cut in
-      // the round's #2 bench tail. Both engines floor(sqrt(count)) on
-      // an exactly-representable double, so the modulus is identical.
-      val nVec = table(s, dir, "embeddings").count()
+      // of n²/50 — on the regenerated corpus (20K vectors at sf1) this
+      // is 141 centroids, not the 400 a fixed %50 seed would give. Both
+      // engines floor(sqrt(count)) on an exactly-representable double,
+      // so the modulus is identical.
+      val nVec = cachedRowCount(s, dir, "embeddings")
       val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
       val cent0 = vec
         .filter(col("vec_id") % seedMod === 0)
@@ -367,8 +368,15 @@ object EmbeddingQueries {
       // one pass of the 48-plane sign-bit computation: the bucket frame
       // self-joins (two consumers), and the corpus feeds three subplans
       // (both bucket sides via bk, both verify sides) — materialize the
-      // buckets so the plane dot products run once
-      val bits = bitsForCorpus(cor.count())
+      // buckets so the plane dot products run once.
+      // Corpus size for bit sizing: base + one planted copy per 20 ids —
+      // derived from the CACHED base count (ADVICE r7: the old eager
+      // cor.count() billed a full scan per invocation). The (n+19)/20
+      // term is exact for 0-based contiguous vec_ids and within ±1
+      // otherwise — bit-width sizing only needs the magnitude; the
+      // verified output is the exact pair set regardless of bits.
+      val nBase = cachedRowCount(s, dir, "embeddings")
+      val bits = bitsForCorpus(nBase + (nBase + 19L) / 20L)
       val bk = lshBuckets(cor, bits).localCheckpoint()
       // Hamming-≤1 multiprobe: the probe side expands each per-table code
       // to itself + its `bits` single-bit flips, so a pair differing in
