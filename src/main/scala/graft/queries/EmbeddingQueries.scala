@@ -259,9 +259,10 @@ object EmbeddingQueries {
     }),
 
     // IVF with k-means-LEARNED centroids (VERDICT r3 stretch): 2 Lloyd
-    // iterations from the deterministic vec_id%50 seed set, then the same
-    // nprobe=2 / top-5 search as e_ivf_topk, exact re-rank on the
-    // original vectors. Centroid updates run on fixed-point QUANTIZED
+    // iterations from the deterministic √n-modulus seed set — fit on a
+    // deterministic sample (≥64 points/centroid, see below), full corpus
+    // assigned once — then the same nprobe=2 / top-5 search as
+    // e_ivf_topk, exact re-rank on the original vectors. Centroid updates run on fixed-point QUANTIZED
     // coordinates (×2^20 → BIGINT): integer sums are exact and
     // associative, so the learned centroids are bit-identical across
     // engines AND across partitionings — a naive double mean is
@@ -286,8 +287,8 @@ object EmbeddingQueries {
         .withColumn("qn", expr(dotSpark("qv", "qv")))
       // one Lloyd step: nearest-centroid assignment (single-pass argmax,
       // ties → smallest cid), then per-dimension exact integer mean
-      def assign(cent: DataFrame): DataFrame =
-        vec
+      def assign(pts: DataFrame, cent: DataFrame): DataFrame =
+        pts
           .select(col("vec_id"), col("qv"), col("qn"))
           .crossJoin(broadcast(cent))
           .withColumn("cos", cosCol)
@@ -315,18 +316,35 @@ object EmbeddingQueries {
       val cent0 = vec
         .filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("qv").as("cv"), col("qn").as("cn"))
+      // SAMPLE-FIT Lloyd (VERDICT r7 #1): the fit iterations run on a
+      // deterministic modulus sample of ≥64 points per centroid
+      // (m = n / sampleMod ≈ 64·k), so the build costs 2·m·k ≈ 128·n dot
+      // products — O(n) — instead of the 2·n·k = n^1.5 a full-corpus fit
+      // grows at (the round-7 sf10 probe billed that at 143 s of the
+      // 210 s total). The FULL corpus is still assigned exactly once
+      // below (that n·k pass is the IVF index itself, not fit overhead).
+      // 64 points/centroid keeps the learned centroids statistically
+      // indistinguishable for search (each centroid's mean estimated
+      // from ≥64 draws; the exact-re-rank stage absorbs any residual
+      // cell-boundary drift). sampleMod = 1 (fit = full corpus, plans
+      // unchanged) through sf0.1; sf1 fits on every 2nd vector — and the
+      // sf1 oracle sweep checks that path end-to-end, DuckDB mirroring
+      // the same modulus sample in its c0/fit CTEs.
+      val sampleMod = math.max(1L, nVec / (64L * seedMod))
+      val fit =
+        if (sampleMod == 1L) vec else vec.filter(col("vec_id") % sampleMod === 0)
       // checkpoint the (tiny, ≤ |corpus|/50-row) centroid frame: it has
       // two consumers (final assignment + query probes) which would each
       // re-run the whole Lloyd-iteration DAG; on a real cluster you'd
       // persist learned centroids the same way
       val learned = (1 to KMeansIters)
-        .foldLeft(cent0)((c, _) => update(assign(c)))
+        .foldLeft(cent0)((c, _) => update(assign(fit, c)))
         .localCheckpoint()
       // search: probe 2 nearest learned centroids (quantized metric, same
       // as assignment), candidates from probed cells, exact re-rank on
       // the ORIGINAL unquantized vectors
       val all = vecs(s, dir)
-      val asgF = assign(learned)
+      val asgF = assign(vec, learned)
       val wProbe = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cid"))
       val probes = vec
         .filter(col("vec_id") < 10)
@@ -499,20 +517,23 @@ object EmbeddingQueries {
     // Mirrors the 2 unrolled Lloyd iterations: quantized BIGINT sums make
     // every centroid coordinate bit-identical to Spark's regardless of
     // aggregation order, so assignments, probes, and the final top-5
-    // cannot diverge on near-ties.
+    // cannot diverge on near-ties. The Lloyd steps fit on the SAME
+    // modulus sample as Spark (`fit` CTE — ≥64 points/centroid); the
+    // final assignment (af) runs over the full corpus, exactly once.
     "e_kmeans_ivf_topk" -> {
-      // one Lloyd step as two CTEs: a<k> assignment against c<k-1>,
-      // s<k> per-(cid, dim) integer mean, c<k> reassembled centroid
+      // one Lloyd step as two CTEs: a<k> SAMPLE assignment against
+      // c<k-1>, s<k> per-(cid, dim) integer mean over the sample,
+      // c<k> reassembled centroid
       def step(k: Int): String = {
         val prev = s"c${k - 1}"
         s"""a$k AS (SELECT vec_id, cid FROM (
            |  SELECT x.vec_id, c.cid,
            |    row_number() OVER (PARTITION BY x.vec_id
            |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
-           |  FROM qn x CROSS JOIN $prev c) WHERE rn = 1),
+           |  FROM fit x CROSS JOIN $prev c) WHERE rn = 1),
            |s$k AS (SELECT a.cid, r.range - 1 AS pos,
            |         CAST(sum(x.qvi[r.range]) AS DOUBLE) / count(*) AS v
-           |       FROM a$k a JOIN qn x ON x.vec_id = a.vec_id
+           |       FROM a$k a JOIN fit x ON x.vec_id = a.vec_id
            |            CROSS JOIN range(1, 65) r
            |       GROUP BY a.cid, r.range),
            |c$k AS (SELECT cid, cv, ${dotDuck("cv", "cv")} AS cn FROM (
@@ -523,6 +544,10 @@ object EmbeddingQueries {
          |  FROM embeddings),
          |qv AS (SELECT vec_id, qvi, [CAST(x AS DOUBLE) for x in qvi] AS qv FROM q0),
          |qn AS (SELECT vec_id, qvi, qv, ${dotDuck("qv", "qv")} AS qn FROM qv),
+         |fit AS (SELECT * FROM qn WHERE vec_id %
+         |        (SELECT greatest(1, count(*) //
+         |                (64 * greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))))
+         |         FROM embeddings) = 0),
          |c0 AS (SELECT vec_id AS cid, qv AS cv, qn AS cn FROM qn
          |       WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
          |                       FROM embeddings) = 0),
