@@ -16,17 +16,19 @@ import org.apache.spark.sql.functions._
   * JDK-only code (no native deps): the corpus builder synthesizes
   * genuine PNG payloads (`javax.imageio`), genuine RIFF/WAV payloads
   * (8-bit unsigned PCM mono via `javax.sound.sampled`), and genuine
-  * ISO BMFF MP4 containers ([[Mp4.synth]]); [[Media.ImageIoDecoder]] /
+  * ISO BMFF MP4 videos with a full sample table and PNG-coded frames
+  * ([[Mp4.synthFrames]]); [[Media.ImageIoDecoder]] /
   * [[Media.WavDecoder]] / [[Media.Mp4Decoder]] decode them back to
   * sample streams, so `m_media_features`/`m_resize_pool` compute real
-  * pixel/PCM/demuxed statistics through real parsers. All three are
-  * lossless and the samples are a deterministic function of the source
-  * text, so the DuckDB oracle still predicts every decoded value. The
-  * one honest limitation left: video FRAME decode of real codec
-  * bitstreams (H.264 etc.) needs native libraries absent from this
-  * container, so the MP4's `mdat` carries raw sample bytes (identity
-  * codec) — the container demux (box walk, fixed-point geometry,
-  * timescale arithmetic) is fully real; see [[Mp4]].
+  * pixel/PCM statistics through real parsers — video included: each
+  * frame byte-range is resolved through `stco`/`stsz` and decoded with
+  * `javax.imageio` (round 8; previously the video codec was identity-
+  * raw). All three are lossless and the samples are a deterministic
+  * function of the source text, so the DuckDB oracle still predicts
+  * every decoded value. The remaining honest limitation: interframe
+  * codec bitstreams (H.264 etc.) need native libs — intraframe tracks
+  * (PNG, and MJPEG, proven on real JPEG frames in Mp4Spec) are the
+  * JDK-real path; see [[Mp4]].
   *
   * What is real and tested for every modality: the schema (binary +
   * metadata struct), the `Dataset[MediaBlob]` encoders, the
@@ -71,18 +73,62 @@ object Media {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded
   }
 
-  /** REAL video demuxer: walks the ISO BMFF box tree ([[Mp4.demux]]) —
-    * geometry comes from `tkhd`'s 16.16 fixed-point fields and the
-    * sample stream from the `mdat` payload, NOT from the side-channel
-    * metadata struct. The codec layer is the identity raw codec (one
-    * sample per `mdat` byte) — frame decode of compressed bitstreams
-    * would need native libraries this container lacks.
+  /** REAL video demuxer + frame decoder: walks the ISO BMFF box tree
+    * ([[Mp4.demux]]) — geometry comes from `tkhd`'s 16.16 fixed-point
+    * fields, NOT from the side-channel metadata struct. For sampled
+    * tracks (a real `stbl`), every frame byte-range resolved via
+    * `stco`/`stsz` is a self-contained intraframe-coded picture
+    * (PNG/MJPEG style) and goes through a REAL `javax.imageio` decode —
+    * the same codec path that made images real in round 4; the decoded
+    * sample stream is the concatenation of the frames' pixels, and each
+    * frame's decoded geometry must agree with the container's. Raw
+    * tracks (no sample table — [[Mp4.synth]]) keep the identity codec:
+    * one sample per `mdat` byte. Interframe codecs (H.264 etc.) would
+    * need native libs; [[Mp4Spec]] proves the path on real lossy JPEG
+    * frames, and the corpus uses lossless PNG frames so the DuckDB
+    * oracle predicts every pixel.
     */
   object Mp4Decoder extends Decoder {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded = {
       val info = Mp4.demux(content)
-      Decoded(info.data.map(b => (b & 0xff) / 256.0), info.widthPx, info.heightPx)
+      if (info.frames.isEmpty)
+        Decoded(info.data.map(b => (b & 0xff) / 256.0), info.widthPx, info.heightPx)
+      else {
+        val samples = info.frames.iterator.flatMap { fb =>
+          val img = ImageIO.read(new ByteArrayInputStream(fb))
+          require(img != null, s"undecodable '${info.codec}' frame (${fb.length} bytes)")
+          require(
+            img.getWidth == info.widthPx && img.getHeight == info.heightPx,
+            s"frame geometry ${img.getWidth}x${img.getHeight} contradicts " +
+              s"container ${info.widthPx}x${info.heightPx}"
+          )
+          graySamples(img)
+        }.toArray
+        Decoded(samples, info.widthPx, info.heightPx)
+      }
     }
+  }
+
+  /** Row-major band-0 samples in [0, 1) — raster access, no color-space
+    * conversion (see [[ImageIoDecoder]]).
+    */
+  private def graySamples(img: BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val samples = new Array[Double](w * h)
+    var y = 0
+    var i = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        samples(i) = raster.getSample(x, y, 0) / 256.0
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    samples
   }
 
   /** REAL image decoder: `javax.imageio` PNG/BMP/JPEG decode to grayscale
@@ -95,22 +141,7 @@ object Media {
     def decode(content: Array[Byte], meta: MediaMeta): Decoded = {
       val img = ImageIO.read(new ByteArrayInputStream(content))
       require(img != null, s"undecodable image payload (${content.length} bytes)")
-      val w = img.getWidth
-      val h = img.getHeight
-      val raster = img.getRaster
-      val samples = new Array[Double](w * h)
-      var y = 0
-      var i = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          samples(i) = raster.getSample(x, y, 0) / 256.0
-          i += 1
-          x += 1
-        }
-        y += 1
-      }
-      Decoded(samples, w, h)
+      Decoded(graySamples(img), img.getWidth, img.getHeight)
     }
   }
 
@@ -154,13 +185,12 @@ object Media {
   def imageWidth(id: Long): Int = 32 + (id % 32).toInt
   val ImageHeight = 32
 
-  /** Encode a REAL grayscale PNG whose row-major pixels are the text bytes
-    * extended cyclically to width×height. Written through the raster (no
-    * color-space conversion) so decode returns exactly these values.
+  /** Encode a REAL w×h grayscale PNG whose row-major pixels are
+    * `bytes[(offset + i) % len]` — the cyclic source stream starting at
+    * `offset`. Written through the raster (no color-space conversion) so
+    * decode returns exactly these values.
     */
-  private[graft] def synthPng(id: Long, textBytes: Array[Byte]): Array[Byte] = {
-    val w = imageWidth(id)
-    val h = ImageHeight
+  private def grayPng(w: Int, h: Int, bytes: Array[Byte], offset: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
     var i = 0
@@ -168,7 +198,7 @@ object Media {
     while (y < h) {
       var x = 0
       while (x < w) {
-        raster.setSample(x, y, 0, textBytes(i % textBytes.length) & 0xff)
+        raster.setSample(x, y, 0, bytes((offset + i) % bytes.length) & 0xff)
         i += 1
         x += 1
       }
@@ -177,6 +207,37 @@ object Media {
     val out = new ByteArrayOutputStream()
     ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Image-modality PNG: pixels are the text bytes extended cyclically to
+    * width×height.
+    */
+  private[graft] def synthPng(id: Long, textBytes: Array[Byte]): Array[Byte] =
+    grayPng(imageWidth(id), ImageHeight, textBytes, 0)
+
+  /** Video frame geometry/count for the synthesized corpus: every video
+    * is [[videoFrameCount]] (4–7, varying by id) frames of 32×18 —
+    * mirrored literally in the DuckDB oracles.
+    */
+  val VideoWidth = 32
+  val VideoHeight = 18
+  def videoFrameCount(id: Long): Int = 4 + (id % 4).toInt
+
+  /** Encode a REAL sampled MP4: [[videoFrameCount]] PNG-coded frames
+    * (QuickTime-style `png ` VisualSampleEntry — intraframe, lossless,
+    * JDK-decodable) whose pixels CONTINUE the cyclic text-byte stream
+    * across frames — frame k starts at source offset k·w·h, so the
+    * concatenated decoded stream equals the text bytes extended
+    * cyclically to F·w·h (what the oracle computes). MJPEG (`jpeg`
+    * fourcc + ImageIO JPEG frames) rides the identical writer/demuxer
+    * path — Mp4Spec proves it — but JPEG's lossy DCT would break the
+    * oracle's pixel prediction, so the corpus uses the lossless codec.
+    */
+  private[graft] def synthVideo(id: Long, textBytes: Array[Byte], durMs: Long): Array[Byte] = {
+    val frames = (0 until videoFrameCount(id)).map { k =>
+      grayPng(VideoWidth, VideoHeight, textBytes, k * VideoWidth * VideoHeight)
+    }
+    Mp4.synthFrames(frames, "png ", VideoWidth, VideoHeight, durMs)
   }
 
   /** Audio sample rate for the synthesized WAV corpus (Hz). */
@@ -202,8 +263,9 @@ object Media {
     * carry REAL PNG payloads (pixels = text bytes, cyclic, via
     * [[synthPng]]); audio rows carry REAL WAV payloads (PCM = text
     * bytes, via [[synthWav]], duration derived from the true sample
-    * count); video rows carry REAL MP4 containers (raw sample bytes in
-    * `mdat`, geometry/duration in `tkhd`/`mvhd`, via [[Mp4.synth]]).
+    * count); video rows carry REAL sampled MP4s (PNG-coded frames
+    * located by a real `stbl`, geometry/duration in `tkhd`/`mvhd`, via
+    * [[synthVideo]]/[[Mp4.synthFrames]]).
     * (Real deployments read the binary column straight from parquet —
     * this stands in for that scan.)
     */
@@ -235,8 +297,8 @@ object Media {
             MediaBlob(
               id,
               "video",
-              Mp4.synth(bytes, 128, 72, durMs),
-              MediaMeta("video/mp4", 128, 72, durMs)
+              synthVideo(id, bytes, durMs),
+              MediaMeta("video/mp4", VideoWidth, VideoHeight, durMs)
             )
         }
       }

@@ -8,30 +8,37 @@ import graft.multimodal.Media
   * PNGs decoded with `javax.imageio` (pixels = the doc's text bytes
   * extended cyclically); audio blobs are REAL 8-bit PCM WAVs decoded
   * with `javax.sound.sampled` (PCM = the doc's text bytes); video blobs
-  * are REAL ISO BMFF MP4 containers demuxed by the `Mp4` box walker
-  * (`mdat` = the doc's text bytes, geometry from `tkhd`). All three are
-  * lossless, so in every case the DuckDB oracle mirrors the
-  * sample-level computation with portable codepoint comprehensions.
+  * are REAL sampled ISO BMFF MP4s — frames located via the `stbl`
+  * sample table and decoded per-frame with `javax.imageio` (PNG-coded
+  * intraframes whose pixels continue the cyclic text stream across
+  * frames; see `Media.synthVideo`). All three are lossless, so in every
+  * case the DuckDB oracle mirrors the sample-level computation with
+  * portable codepoint comprehensions.
   */
 object MediaQueries {
   import Q._
 
   /** DuckDB fragment: the decoded-and-requantized sample list per doc —
     * for images the text codepoints extended cyclically to width*height
-    * (what the PNG decode returns), for audio/video the codepoints as-is
-    * (what the WAV PCM read and the MP4 `mdat` slice return). Expects a
-    * CTE `t(doc_id, text, cps)`.
+    * (what the PNG decode returns), for video the codepoints extended
+    * cyclically to frames × 32×18 (what the per-frame PNG decodes
+    * concatenate to), for audio the codepoints as-is (what the WAV PCM
+    * read returns). Expects a CTE `t(doc_id, text, cps)`.
     */
   private val samplesDuck: String =
     """CASE WHEN doc_id % 3 = 0
       |     THEN [cps[((i - 1) % len(cps)) + 1]
       |           for i in range(1, CAST(32 * (32 + doc_id % 32) AS INT) + 1)]
+      |     WHEN doc_id % 3 = 2
+      |     THEN [cps[((i - 1) % len(cps)) + 1]
+      |           for i in range(1, CAST((4 + doc_id % 4) * 576 AS INT) + 1)]
       |     ELSE cps END""".stripMargin
 
   val queries: Map[String, Fn] = Map(
     // mapPartitions-batched decode + feature extraction over binary blobs;
     // image rows go through a REAL javax.imageio PNG decode, audio rows
-    // through a REAL javax.sound.sampled WAV decode.
+    // through a REAL javax.sound.sampled WAV decode, video rows through a
+    // REAL stbl demux + per-frame javax.imageio decode.
     "m_media_features" -> ((s, dir) =>
       Media
         .extractFeatures(Media.blobs(s, dir))
@@ -39,7 +46,12 @@ object MediaQueries {
         .orderBy("media_id")),
 
     // Metadata-only frame-sample plan (never touches the payload bytes):
-    // output the number of sampled frames per video blob.
+    // output the number of sampled frames per video blob, striding the
+    // notional 24 fps presentation timeline from the DECLARED duration.
+    // Deliberately metadata-only even though the container now carries a
+    // real sample table — planning which frames to pull at 100 TB must
+    // not require deserializing payloads; m_media_features is the path
+    // that actually demuxes and decodes.
     "m_frame_sample_plan" -> ((s, dir) =>
       Media
         .frameSamplePlan(Media.blobs(s, dir))
@@ -89,9 +101,9 @@ object MediaQueries {
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
          |  $samplesDuck AS q,
          |  CASE WHEN doc_id % 3 = 0 THEN CAST(32 + doc_id % 32 AS INT)
-         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 128 END AS width,
+         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 32 END AS width,
          |  CASE WHEN doc_id % 3 = 0 THEN 32
-         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 72 END AS height
+         |       WHEN doc_id % 3 = 1 THEN 0 ELSE 18 END AS height
          |  FROM t),
          |f AS (SELECT doc_id AS media_id, modality, len(q) AS n_samples, width, height,
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), q),

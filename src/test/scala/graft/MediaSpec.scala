@@ -46,11 +46,14 @@ class MediaSpec extends SparkSpecBase {
     }
   }
 
-  test("mapPartitions checksum equals the SQL rolling hash on non-image modalities") {
+  test("mapPartitions checksum equals the SQL rolling hash on the audio modality") {
+    // audio is the one modality whose decoded stream IS the text bytes
+    // verbatim (images/videos cyclically extend them), so its decoded
+    // checksum must equal the pure-SQL rolling hash over the text
     val fromBlobs = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
-      .filter(col("modality") =!= "image") // image checksums are over decoded pixels
+      .filter(col("modality") === "audio")
       .select(col("media_id"), col("checksum"))
     val fromSql = spark.read
       .parquet(s"$Sf0001/documents.parquet")
@@ -81,11 +84,11 @@ class MediaSpec extends SparkSpecBase {
     assert(bad == 0)
   }
 
-  test("audio/video decode produces one sample per source text byte") {
+  test("audio decode produces one sample per source text byte") {
     val rows = Media
       .extractFeatures(Media.blobs(spark, Sf0001))
       .toDF()
-      .filter(col("modality") =!= "image")
+      .filter(col("modality") === "audio")
       .join(
         spark.read
           .parquet(s"$Sf0001/documents.parquet")
@@ -95,6 +98,39 @@ class MediaSpec extends SparkSpecBase {
       .filter(col("n_samples") =!= col("n_text"))
       .count()
     assert(rows == 0)
+  }
+
+  test("video features come from real per-frame decodes: geometry and sample count match") {
+    val vid = Media
+      .extractFeatures(Media.blobs(spark, Sf0001))
+      .toDF()
+      .filter(col("modality") === "video")
+    assert(vid.count() > 0)
+    val bad = vid
+      .filter(
+        col("width") =!= Media.VideoWidth ||
+          col("height") =!= Media.VideoHeight ||
+          // frames × 32×18 decoded pixels, frame count varying by id
+          col("n_samples") =!= (lit(4) + col("media_id") % 4) * Media.VideoWidth * Media.VideoHeight
+      )
+      .count()
+    assert(bad == 0)
+  }
+
+  test("video frames round-trip: stbl demux + ImageIO decode continues the cyclic text stream") {
+    val text = "Sphinx of black quartz, judge my vow — 0123456789"
+    val bytes = text.getBytes("UTF-8")
+    val id = 5L // 5 % 3 = 2 (video), 5 % 4 = 1 -> 5 frames
+    val mp4 = Media.synthVideo(id, bytes, 4321L)
+    val d = Media.Mp4Decoder.decode(mp4, Media.MediaMeta("video/mp4", 0, 0, 0L))
+    assert(d.width == Media.VideoWidth && d.height == Media.VideoHeight)
+    val expectLen = Media.videoFrameCount(id) * Media.VideoWidth * Media.VideoHeight
+    assert(d.samples.length == expectLen)
+    // every decoded pixel, across all frames, re-quantizes to the cyclic
+    // source byte at its GLOBAL stream index — frame k starts at k*w*h
+    d.samples.zipWithIndex.foreach { case (s, i) =>
+      assert((s * 256.0).toInt == (bytes(i % bytes.length) & 0xff), s"sample $i")
+    }
   }
 
   test("frame-sample plan is metadata-only and video-only") {

@@ -85,6 +85,61 @@ class Mp4Spec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("synthFrames → demux resolves every frame via stco/stsz, exact bytes and codec") {
+    val frames = Seq(
+      "first frame".getBytes("UTF-8"),
+      "second, longer frame".getBytes("UTF-8"),
+      Array[Byte](0, 1, 2, 3)
+    )
+    val bytes = Mp4.synthFrames(frames, "png ", 32, 18, 6000L)
+    // still a well-formed top-level box sequence
+    assert(new String(bytes, 4, 4, "US-ASCII") == "ftyp")
+    val info = Mp4.demux(bytes)
+    assert(info.codec == "png ")
+    assert(info.widthPx == 32 && info.heightPx == 18)
+    assert(info.durationMs == 6000L)
+    assert(info.frames.length == 3)
+    info.frames.zip(frames).foreach { case (got, exp) =>
+      assert(got.toSeq == exp.toSeq)
+    }
+    // the mdat payload is the frame concatenation (single-chunk layout)
+    assert(info.data.toSeq == frames.flatten.toSeq)
+  }
+
+  test("MJPEG-style track: REAL lossy JPEG frames demux and ImageIO-decode") {
+    // encode two genuine JPEG frames through the JDK codec
+    def jpegFrame(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        48, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      for (y <- 0 until 32; x <- 0 until 48)
+        raster.setSample(x, y, 0, (seed + 7 * x + 13 * y) % 256)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val frames = Seq(jpegFrame(1), jpegFrame(101))
+    assert(frames.forall(f => (f(0) & 0xff) == 0xff && (f(1) & 0xff) == 0xd8)) // JFIF SOI
+    val info = Mp4.demux(Mp4.synthFrames(frames, "jpeg", 48, 32, 2000L))
+    assert(info.codec == "jpeg")
+    // the decoder path handles the lossy codec end-to-end (pixel VALUES
+    // are not asserted — DCT quantization is the reason the corpus uses
+    // PNG frames for oracle-predictability)
+    val d = Media.Mp4Decoder.decode(
+      Mp4.synthFrames(frames, "jpeg", 48, 32, 2000L),
+      Media.MediaMeta("video/mp4", 0, 0, 0L)
+    )
+    assert(d.width == 48 && d.height == 32)
+    assert(d.samples.length == 2 * 48 * 32)
+    assert(d.samples.forall(s => s >= 0.0 && s < 1.0))
+  }
+
+  test("a sample table whose byte ranges overrun the file is rejected") {
+    val good = Mp4.synthFrames(Seq("frame".getBytes("UTF-8")), "png ", 8, 8, 1000L)
+    val truncated = good.take(good.length - 3)
+    intercept[IllegalArgumentException](Mp4.demux(truncated))
+  }
+
   test("Mp4Decoder reads geometry from tkhd, not from the metadata struct") {
     // deliberately contradictory metadata: the container must win
     val meta = Media.MediaMeta("video/mp4", 999, 999, 1L)
