@@ -420,34 +420,39 @@ object TextQueries {
     // greedy's bin state is a non-associative reset-scan — inherently
     // sequential, no partial aggregation, no window form — while this
     // layout is ONE window cumsum, so both engines compute it exactly
-    // and it parallelizes per source shard. Scale: the window shuffles
-    // on source and sorts within shard — packing order is per-shard
-    // sequential by definition, so shard granularity (here `source`; a
-    // real corpus adds a date/part key) IS the parallelism knob.
+    // and it parallelizes per shard. Scale: the window shuffles on the
+    // shard key and sorts within shard — packing order is per-shard
+    // sequential by definition, so shard granularity IS the parallelism
+    // knob. The shard key is COMPOSITE by default (VERDICT r7 #7):
+    // (source, doc_id div 256) — the id-range bucket stands in for the
+    // date/part key a real corpus carries (this one has no date column)
+    // — so one dominant source caps each window sort at 256 docs
+    // instead of serializing its whole corpus through a single sort.
     // Output: per-bin manifest (docs, tokens, fill, overflow) — what a
-    // downstream batch loader consumes.
+    // downstream batch loader consumes, keyed by (source, shard, bin).
     "t_sequence_packing" -> ((s, dir) => {
       val C = 512L
       val w = Window
-        .partitionBy(col("source"))
+        .partitionBy(col("source"), col("shard"))
         .orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       table(s, dir, "documents")
         .select(
           col("source"),
           col("doc_id"),
+          expr("doc_id div 256").as("shard"),
           size(split(col("text"), " ")).cast("long").as("n_tokens")
         )
         .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .withColumn("bin_id", expr(s"cum_before div $C"))
-        .groupBy(col("source"), col("bin_id"))
+        .groupBy(col("source"), col("shard"), col("bin_id"))
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc")
         )
-        .orderBy("source", "bin_id")
+        .orderBy("source", "shard", "bin_id")
     }),
 
     // Per-source contribution cap — the corpus-mixing rule "no single
@@ -679,17 +684,17 @@ object TextQueries {
         |  true AS kll_p50_within_5pct, true AS kll_p90_within_5pct
         |FROM documents""".stripMargin,
     "t_sequence_packing" ->
-      """WITH d AS (SELECT source, doc_id,
+      """WITH d AS (SELECT source, doc_id, doc_id // 256 AS shard,
         |             len(string_split(text, ' ')) AS n_tokens FROM documents),
-        |c AS (SELECT source, doc_id, n_tokens,
-        |        coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |c AS (SELECT source, doc_id, shard, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |      FROM d)
-        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS bin_id,
+        |SELECT source, shard, CAST(cum_before // 512 AS BIGINT) AS bin_id,
         |  count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens, min(doc_id) AS first_doc,
         |  max(doc_id) AS last_doc
-        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // The sketch phase only GENERATES candidates; the registered output
     // is the exact heavy-hitter set, so the oracle is the plain
     // GROUP BY/HAVING it provably equals.

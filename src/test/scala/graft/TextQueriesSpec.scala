@@ -56,7 +56,7 @@ class TextQueriesSpec extends SparkSpecBase {
     }
   }
 
-  test("sequence packing: bins tile each source shard; totals preserved") {
+  test("sequence packing: bins tile each (source, shard); totals preserved") {
     import org.apache.spark.sql.functions._
     val C = 512L
     val docs = spark.read
@@ -67,31 +67,32 @@ class TextQueriesSpec extends SparkSpecBase {
         size(split(col("text"), " ")).cast("long").as("n"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    // plain-Scala reference of the quotient layout
+    // plain-Scala reference of the quotient layout over the COMPOSITE
+    // shard key (source, doc_id div 256)
     val expected = docs.toSeq
-      .groupBy(_._1)
+      .groupBy(t => (t._1, t._2 / 256))
       .toSeq
-      .flatMap { case (src, rows) =>
+      .flatMap { case ((src, shard), rows) =>
         var cum = 0L
         rows.sortBy(_._2).map { case (_, id, n) =>
-          val bin = cum / C; cum += n; (src, bin, id, n)
+          val bin = cum / C; cum += n; (src, shard, bin, id, n)
         }
       }
-      .groupBy(t => (t._1, t._2))
-      .map { case ((src, bin), rs) =>
-        (src, bin, rs.size.toLong, rs.map(_._4).sum, rs.map(_._3).min, rs.map(_._3).max)
+      .groupBy(t => (t._1, t._2, t._3))
+      .map { case ((src, shard, bin), rs) =>
+        (src, shard, bin, rs.size.toLong, rs.map(_._5).sum, rs.map(_._4).min, rs.map(_._4).max)
       }
       .toSet
     val got = TextQueries
       .queries("t_sequence_packing")(spark, Sf0001)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
+        r.getLong(4), r.getLong(5), r.getLong(6)))
       .toSet
     assert(got == expected)
     // every doc lands in exactly one bin and no token is lost
-    assert(got.toSeq.map(_._3).sum == docs.length)
-    assert(got.toSeq.map(_._4).sum == docs.map(_._3).sum)
+    assert(got.toSeq.map(_._4).sum == docs.length)
+    assert(got.toSeq.map(_._5).sum == docs.map(_._3).sum)
   }
 
   test("decontamination finds every planted train→test overlap") {
