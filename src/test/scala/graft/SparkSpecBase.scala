@@ -27,4 +27,5 @@ object SparkTestSession {
 abstract class SparkSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   val Sf0001 = "/root/testdata/sf0.001"
+  val Sf01 = "/root/testdata/sf0.1"
 }

@@ -219,6 +219,92 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow at sf0.1: multi-batch stream equals batch on windows and sessions") {
+    // VERDICT r7 #6 — the streaming tier end-to-end at BENCH scale
+    // (100K events), not toy input: the corpus is split into 8 files and
+    // replayed 2 per micro-batch under Trigger.AvailableNow (the
+    // process-everything-then-stop trigger a backfill run uses), so the
+    // engine must carry real windowed/session state ACROSS micro-batches
+    // and still converge to the batch answer.
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = graft.queries.Q.events(spark, Sf01)
+    // Replay as 8 TIME-RANGE files with increasing mtimes (the file
+    // source orders by modification time) — a real backfill replays
+    // roughly time-ordered segments. Order matters for the session
+    // query: the session-merge operator drops watermark-late rows even
+    // in complete mode, so a replay whose every file spans the whole
+    // month would advance the watermark to ~max after batch 1 and
+    // discard most subsequent input — a property of the OPERATOR's
+    // late-data contract, not a convergence bug (the late-data test
+    // below pins the dropping behavior explicitly).
+    val rangeDir = java.nio.file.Files.createTempDirectory("sf01-ranges")
+    ev.repartitionByRange(8, col("ts")).write.mode("overwrite").parquet(rangeDir.toString)
+    val dir = java.nio.file.Files.createTempDirectory("sf01-replay").toString
+    val parts = new java.io.File(rangeDir.toString)
+      .list()
+      .filter(_.endsWith(".parquet"))
+      .sorted // part-00000..part-00007: range partitions are time-ordered
+    val now = System.currentTimeMillis()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val dest = java.nio.file.Paths.get(dir, f"part-$i.parquet")
+      java.nio.file.Files.copy(rangeDir.resolve(p), dest)
+      dest.toFile.setLastModified(now - (parts.length - i) * 60000L)
+    }
+    val schema = spark.read.parquet(dir).schema
+    def stream = graft.queries.Q.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(dir)
+    )
+
+    val batchWin = EventPipeline
+      .windowedCountsCents(ev)
+      .orderBy("window_start", "event_type")
+      .collect()
+    val qw = EventPipeline
+      .windowedCountsStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("sf01_win")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(qw.awaitTermination(300000), "windowed-counts stream did not finish")
+      // prove this exercised MULTI-batch state, not one big batch
+      assert(qw.recentProgress.count(_.numInputRows > 0) >= 2)
+      val streamed = spark
+        .table("sf01_win")
+        .orderBy("window_start", "event_type")
+        .collect()
+      assert(streamed.length == batchWin.length)
+      assert(streamed.zip(batchWin).forall { case (a, b) => a == b })
+    } finally qw.stop()
+
+    val batchSess = EventPipeline
+      .sessionize(ev)
+      .orderBy("user_id", "session_start")
+      .collect()
+    val qs = EventPipeline
+      .sessionizeStream(stream)
+      .writeStream
+      .format("memory")
+      .queryName("sf01_sess")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      assert(qs.awaitTermination(300000), "sessionize stream did not finish")
+      val streamed = spark
+        .table("sf01_sess")
+        .orderBy("user_id", "session_start")
+        .collect()
+      assert(streamed.length == batchSess.length)
+      assert(streamed.zip(batchSess).forall { case (a, b) => a == b })
+    } finally qs.stop()
+  }
+
   test("late data beyond the watermark is dropped from already-finalized windows") {
     val ev = graft.queries.Q.events(spark, Sf0001)
     // phase A: the full month of events; phase B: day-1 replays arriving
