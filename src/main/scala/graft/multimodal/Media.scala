@@ -44,6 +44,15 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
+  // ImageIO's stream wrappers default to FileCache*ImageStream: every
+  // encode/decode creates (and fsyncs, and deletes) a temp file. At
+  // corpus scale that is hundreds of thousands of disk round-trips per
+  // query across all executor threads, and on a shared tmpdir it
+  // serializes on the filesystem, not the CPU. Our frames are ≤64×64 —
+  // force the in-memory cache once per JVM (classloading of this object
+  // happens on each executor before any codec call).
+  ImageIO.setUseCache(false)
+
   final case class MediaMeta(mime: String, width: Int, height: Int, durationMs: Long)
   final case class MediaBlob(
       media_id: Long,
