@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check_oracle.py /tmp/verify_r2 /root/testdata/sf0.01
+Usage: python3 tools/check_oracle.py /tmp/verify_r2 /root/testdata/sf0.01 [timeout_s]
 
 For each <name>/ parquet dir in outDir, runs oracle_sql.json[name] in DuckDB
 (with each sf table registered as a view) and compares: row count, column
 names (sorted), and values (columns sorted by name, rows sorted by repr).
+
+The optional third arg caps each ORACLE's DuckDB runtime (seconds). Several
+oracles are deliberately exact where the engine is bucketed (all-pairs
+near-dup verify, full n-by-k IVF assignment) — at sf10 those mirrors are
+quadratic in DuckDB by design; the cap records them as TIMEOUT rather than
+hanging the sweep, and TIMEOUT rows are counted separately from failures.
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
 
@@ -28,7 +34,7 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     rows = sorted(df.itertuples(index=False, name=None), key=repr)
     return pd.DataFrame(rows, columns=df.columns)
 
-def main(out_dir, sf_dir):
+def main(out_dir, sf_dir, timeout_s=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -37,7 +43,7 @@ def main(out_dir, sf_dir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -48,10 +54,26 @@ def main(out_dir, sf_dir):
         got = pd.read_parquet(files[0]) if len(files) == 1 else pd.concat([pd.read_parquet(f) for f in files])
         if name not in oracles:
             print(f"SKIP  {name}: no oracle ({len(got)} rows)"); continue
+        timer = None
+        timed_out = []
+        if timeout_s:
+            timer = threading.Timer(timeout_s, lambda: (timed_out.append(True), con.interrupt()))
+            timer.start()
         try:
+            import time
+            t0 = time.time()
             exp = con.execute(oracles[name]).df()
+            dt = time.time() - t0
         except Exception as e:
-            print(f"ERR   {name}: oracle SQL failed: {e}"); n_fail += 1; continue
+            if timed_out:
+                print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (deliberately-exact mirror)")
+                n_timeout += 1
+            else:
+                print(f"ERR   {name}: oracle SQL failed: {e}"); n_fail += 1
+            continue
+        finally:
+            if timer:
+                timer.cancel()
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL  {name}: columns {list(g.columns)} vs oracle {list(e.columns)}"); n_fail += 1; continue
@@ -64,12 +86,13 @@ def main(out_dir, sf_dir):
             # so any inexactness here is a real bug the driver would flag.
             pd.testing.assert_frame_equal(g.reset_index(drop=True), e.reset_index(drop=True),
                                           check_dtype=True, check_exact=True)
-            print(f"PASS  {name} ({len(g)} rows)"); n_pass += 1
+            print(f"PASS  {name} ({len(g)} rows, oracle {dt:.1f}s)"); n_pass += 1
         except AssertionError as ex:
             msg = str(ex).splitlines()
             print(f"FAIL  {name}: {msg[0]} | {' '.join(msg[1:4])}"); n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail" + (f", {n_timeout} timeout" if n_timeout else ""))
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  float(sys.argv[3]) if len(sys.argv) > 3 else None))
