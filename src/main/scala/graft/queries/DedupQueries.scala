@@ -96,7 +96,16 @@ object DedupQueries {
     * Spark and the (mirrored) oracle.
     */
   private def hashedSets(s: SparkSession, dir: String): DataFrame =
-    wordHashes(s, dir)
+    hashedSetsOf(s, corpus(s, dir))
+
+  /** [[hashedSets]] over an arbitrary (doc_id, text) frame — the
+    * incremental-dedup query needs the SAME feature pipeline on its
+    * corpus and batch sides separately. */
+  private def hashedSetsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), expr("transform(ws, w -> char_rolling_hash(w))").as("wh"))
       // `wh` is let-bound as a lambda variable: CollapseProject would
       // otherwise inline the word-hash transform into every `wh`
       // reference inside the n-gram window lambda — re-hashing every
@@ -126,6 +135,7 @@ object DedupQueries {
       // the thing you never do.
       .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .localCheckpoint()
+  }
 
   /** DuckDB mirror of [[wordHashes]]/[[hashedSets]] (appended to
     * [[corpusCte]]); `ex`/`sz` operate on the hashed sets.
@@ -190,9 +200,15 @@ object DedupQueries {
     * join back the hashed shingle sets, keep pairs ≥ threshold. Candidates
     * are few, so the array intersect/union runs on a tiny frame.
     */
-  private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame): DataFrame =
+    verifyJaccard2(cand, sets, sets)
+
+  /** [[verifyJaccard]] with distinct frames for the `doc_a` (probe) and
+    * `doc_b` (index) sides — incremental dedup verifies batch-vs-corpus
+    * candidates where the two sides are different tables. */
+  private def verifyJaccard2(cand: DataFrame, setsA: DataFrame, setsB: DataFrame): DataFrame = {
+    val a = setsA.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val b = setsB.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     cand
       .join(a, "doc_a")
       .join(b, "doc_b")
@@ -230,19 +246,26 @@ object DedupQueries {
   /** The MinHash→LSH-band→exact-verify pair set (shared by
     * `d_minhash_lsh_pairs` and the cluster resolution).
     */
+  /** (doc_id, band, bkey) LSH band keys of a hashed-set frame — the
+    * persisted index a production incremental dedup maintains; extracted
+    * so `d_incremental_dedup` can band its corpus and batch sides
+    * separately. */
+  private def bandKeysOf(sets: DataFrame): DataFrame =
+    sets
+      .withColumn("sig", expr("minhash_sig(hs)"))
+      .select(
+        col("doc_id"),
+        explode(
+          expr(
+            s"transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band, element_at(sig, 2*b+1) * $P + element_at(sig, 2*b+2) AS bkey))"
+          )
+        ).as("bk")
+      )
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
   private def lshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = hashedSets(s, dir)
-    val sigs = sets
-      .withColumn("sig", expr("minhash_sig(hs)"))
-      .select(col("doc_id"), col("sig"))
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(
-        expr(
-          s"transform(sequence(0, ${NumBands - 1}), b -> struct(b AS band, element_at(sig, 2*b+1) * $P + element_at(sig, 2*b+2) AS bkey))"
-        )
-      ).as("bk")
-    ).select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val bands = bandKeysOf(sets)
     val cand = bands
       .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(
@@ -342,6 +365,106 @@ object DedupQueries {
 
     // MinHash + LSH banding near-dup: signatures → band join → verify.
     "d_minhash_lsh_pairs" -> ((s, dir) => lshVerifiedPairs(s, dir)),
+
+    // INCREMENTAL dedup — the operation a daily ingest actually runs at
+    // 100 TB: dedup the incoming BATCH against the existing CORPUS (and
+    // within itself) without re-deduplicating the corpus. Plant: corpus =
+    // docs with doc_id%5 != 0; batch = docs with doc_id%5 == 0 ∪ exact
+    // copies of every 7th corpus doc (+3000000) ∪ 2-word-truncated near
+    // copies of every 11th corpus doc (+4000000) ∪ exact copies of every
+    // 13th raw batch doc (+5000000). Verdict per batch doc, precedence
+    // exact_dup_corpus > near_dup_corpus > dup_in_batch (earlier batch
+    // doc wins) > new; output = (verdict, n_docs, id_checksum) — O(1)
+    // rows at any scale.
+    //
+    // Scale shape: every corpus-side artifact here (text for the exact
+    // semi-join, minhash band keys for the near probe) is the persisted
+    // DEDUP INDEX a production pipeline maintains — in this query it is
+    // computed inline (there is no cross-run state), but each is built
+    // in ONE pass and only ever joined on narrow keys. The batch side
+    // pays O(|batch|·bands) probe rows against the band index and an
+    // exact-Jaccard verify of only the candidates; the corpus text is
+    // never self-joined and nothing quadratic in the corpus exists. At
+    // 100 TB the exact semi-join runs on the persisted xxhash128 digest
+    // column instead of raw text; here text equality keeps the DuckDB
+    // oracle byte-exact.
+    "d_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") % 5 =!= 0)
+      val batchRaw = docs.filter(col("doc_id") % 5 === 0)
+      val trunc =
+        expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ')")
+      val batch = batchRaw
+        .unionAll(
+          base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+        .unionAll(
+          base.filter(col("doc_id") % 11 === 0)
+            .select((col("doc_id") + 4000000L).as("doc_id"), trunc.as("text")))
+        .unionAll(
+          batchRaw.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+
+      // exact vs corpus: semi-join against the corpus text index
+      val exactBC = batch
+        .join(base.select(col("text")), Seq("text"), "left_semi")
+        .select(col("doc_id"))
+        .distinct()
+        .withColumn("f_exact_bc", lit(1))
+
+      // near vs corpus: batch band keys probe the corpus band index;
+      // exact-Jaccard verify of the (few) candidates on the full sets
+      val setsBase = hashedSetsOf(s, base)
+      val setsBatch = hashedSetsOf(s, batch)
+      val candBC = bandKeysOf(setsBatch)
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(
+          bandKeysOf(setsBase).select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+          Seq("band", "bkey"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val nearBC = verifyJaccard2(candBC, setsBatch, setsBase)
+        .select(col("doc_a").as("doc_id"))
+        .distinct()
+        .withColumn("f_near_bc", lit(1))
+
+      // within-batch: earlier doc wins. Exact via min-keeper per text;
+      // near via the batch band self-join (later doc of a verified pair)
+      val keeperBB = batch
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val exactBB = batch
+        .join(keeperBB, "text")
+        .filter(col("doc_id") > col("keeper"))
+        .select(col("doc_id"))
+      val bandsBatch = bandKeysOf(setsBatch)
+      val candBB = bandsBatch
+        .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(
+          bandsBatch.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      val nearBB = verifyJaccard2(candBB, setsBatch, setsBatch)
+        .select(col("doc_b").as("doc_id"))
+      val dupBB = exactBB.unionAll(nearBB).distinct().withColumn("f_dup_bb", lit(1))
+
+      batch
+        .select(col("doc_id"))
+        .join(exactBC, Seq("doc_id"), "left")
+        .join(nearBC, Seq("doc_id"), "left")
+        .join(dupBB, Seq("doc_id"), "left")
+        .withColumn(
+          "verdict",
+          when(col("f_exact_bc").isNotNull, "exact_dup_corpus")
+            .when(col("f_near_bc").isNotNull, "near_dup_corpus")
+            .when(col("f_dup_bb").isNotNull, "dup_in_batch")
+            .otherwise("new"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("verdict"))
+    }),
 
     // Duplicate-CLUSTER resolution: near-dup pairs are a graph; keeping
     // one doc per duplicate set needs its connected components, not just
@@ -559,6 +682,56 @@ object DedupQueries {
     // The LSH path must reproduce the exact pair set (verification step
     // + negligible banding miss probability at the threshold).
     "d_minhash_lsh_pairs" -> exactPairsSql,
+    // Incremental dedup: the oracle recomputes the exact verdicts with
+    // text-equality for exact dups and the inverted-index exact pair set
+    // (≥0.7 on the hashed 3-gram sets) for near dups — the LSH probe path
+    // must reproduce it (verification + negligible banding miss).
+    "d_incremental_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |braw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM braw
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |         array_to_string(ws[1:greatest(len(ws) - 2, 1)], ' ') AS text
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)
+         |  WHERE doc_id % 11 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM braw WHERE doc_id % 13 = 0
+         |),
+         |allu AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM batch),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM allu),
+         |whs AS (SELECT doc_id, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
+         |hsl AS (SELECT doc_id, list_distinct(${hashedNgramsDuck("wh", 3)}) AS hs FROM whs),
+         |ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl),
+         |sz AS (SELECT doc_id, len(hs) AS n FROM hsl),
+         |inter AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT da, db FROM inter
+         |  JOIN sz sa ON da = sa.doc_id
+         |  JOIN sz sb ON db = sb.doc_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT),
+         |nsym AS (SELECT da AS u, db AS v FROM near UNION ALL SELECT db AS u, da AS v FROM near),
+         |v AS (SELECT b.doc_id,
+         |  CASE WHEN EXISTS (SELECT 1 FROM base c WHERE c.text = b.text)
+         |         THEN 'exact_dup_corpus'
+         |       WHEN EXISTS (SELECT 1 FROM nsym n JOIN base c ON n.v = c.doc_id
+         |                    WHERE n.u = b.doc_id)
+         |         THEN 'near_dup_corpus'
+         |       WHEN EXISTS (SELECT 1 FROM batch b2
+         |                    WHERE b2.doc_id < b.doc_id AND b2.text = b.text)
+         |         OR EXISTS (SELECT 1 FROM nsym n JOIN batch b2 ON n.v = b2.doc_id
+         |                    WHERE n.u = b.doc_id AND b2.doc_id < b.doc_id)
+         |         THEN 'dup_in_batch'
+         |       ELSE 'new' END AS verdict
+         |  FROM batch b)
+         |SELECT verdict, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
     // Triangles must match the plain 3-way self-join on the exact pair
     // set (the Spark side's orientation trick is invisible to results).
     "d_dup_triangles" ->

@@ -118,4 +118,31 @@ class DedupSpec extends SparkSpecBase {
     // transitive merging really happened: some chain has >= 3 members
     assert(clusters.exists(_._2 >= 3))
   }
+
+  test("incremental dedup: verdict counts cover the batch, planted dups classified") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val nBatchRaw = docs.filter(col("doc_id") % 5 === 0).count()
+    val nPlantExact = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0).count()
+    val nPlantNear = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 11 === 0).count()
+    val nPlantIntra = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 13 === 0).count()
+    val byVerdict = DedupQueries
+      .queries("d_incremental_dedup")(spark, Sf0001)
+      .collect()
+      .map(r => r.getAs[String]("verdict") -> r.getAs[Long]("n_docs"))
+      .toMap
+    // every batch doc gets exactly one verdict
+    assert(byVerdict.values.sum == nBatchRaw + nPlantExact + nPlantNear + nPlantIntra)
+    // planted exact copies of corpus docs can only be exact_dup_corpus
+    assert(byVerdict.getOrElse("exact_dup_corpus", 0L) >= nPlantExact)
+    // planted truncated copies land in near_dup_corpus (or exact if the
+    // truncation was a no-op on a short doc); intra-batch copies land in
+    // dup_in_batch unless their source text also duplicates the corpus
+    assert(byVerdict.getOrElse("near_dup_corpus", 0L) >= nPlantNear - 1)
+    // intra-batch dups are roughly the plant: a planted copy whose source
+    // text also matches the corpus is claimed by the corpus verdicts
+    // first (so can undershoot), and a natural near-pair inside batchRaw
+    // can add a few (batchRaw is exact-distinct but not near-distinct)
+    assert(byVerdict.getOrElse("dup_in_batch", 0L) <= nPlantIntra + 5)
+    assert(byVerdict.getOrElse("new", 0L) > 0)
+  }
 }
