@@ -229,6 +229,23 @@ object EmbeddingQueries {
   private val cosCol =
     expr(s"${dotSpark("qv", "cv")} / (sqrt(qn) * sqrt(cn))")
 
+  /** Exact cardinality of [[nearCorpus]] (base ∪ planted copies), cached
+    * per dir like [[Q.cachedRowCount]]: the base count comes from that
+    * cache; the planted-copy count (`vec_id % 20 == 0` over the base) is
+    * one count-only scan on first use. Feeds plan sizing that must match
+    * the DuckDB mirror EXACTLY (`count(*)` over its corpus CTE) — unlike
+    * the ±1-tolerant LSH bit sizing, a k-means/IVF seed modulus off by
+    * one changes cluster assignments and the verified output.
+    */
+  private val plantedCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def nearCorpusCount(s: SparkSession, dir: String): Long =
+    cachedRowCount(s, dir, "embeddings") +
+      plantedCountCache.getOrElseUpdate(
+        dir,
+        table(s, dir, "embeddings").filter(col("vec_id") % 20 === 0).count()
+      )
+
   /** Exact brute-force top-k for the 10 standard query vectors: broadcast
     * the query side, single candidate pass, per-query ranking. Returns
     * (query_id, neighbor_id, cos (unrounded), rank ≤ k) — shared by
@@ -498,6 +515,66 @@ object EmbeddingQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the embedding space with k ≈ √n deterministic centroids
+    // (same seed law as the IVF index), then search for near-duplicates
+    // ONLY within cluster cells — a vector is dropped when some
+    // smaller-id cell-mate sits at cosine ≥ 0.95; the reported exemplar
+    // is its most-similar kept neighbor (ties → smallest id). Assignment
+    // is SOFT: each vector lands in its 2 nearest cells (a near-dup pair
+    // is searched if the vectors SHARE any cell). On isotropic vectors —
+    // clustering's worst case — hard assignment found only 11/25 planted
+    // pairs at sf0.001 (cell boundaries are everywhere when the space has
+    // no real cluster structure); top-2 assignment recovers 24/25 for a
+    // bounded 4× candidate-volume factor, the same nprobe=2 trade the IVF
+    // search makes. The clustering still bounds the pairwise stage:
+    // expected cell size 2n/k, total candidate dots Σ sz² ≈ 4n²/k ≈ n^1.5
+    // — distributed by a plain shuffle join on the cell id (AQE's
+    // skew-join split handles a hot cell) — instead of the n² an
+    // unclustered pass costs. Remaining boundary-split pairs are inherent
+    // to SemDeDup, not this implementation; the DuckDB oracle mirrors the
+    // SAME soft assignment, so the check is exact about what the
+    // algorithm claims. Cross-check: e_cosine_neardup_pairs finds the
+    // boundary-split pairs too (LSH buckets are independent of the
+    // clustering).
+    "e_semantic_dedup" -> ((s, dir) => {
+      val cor = nearCorpus(s, dir)
+      val nCor = nearCorpusCount(s, dir)
+      val seedMod = math.max(50L, math.floor(math.sqrt(nCor.toDouble)).toLong)
+      val cent = cor
+        .filter(col("vec_id") % seedMod === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      // top-2 nearest-centroid soft assignment (ties → smaller cid) —
+      // same n·k volume as the argmax, ranked per-vector
+      val wAsg = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val asg = cor
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosCol)
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id"), col("cid"))
+      val m = asg.join(cor, "vec_id")
+      val keep = m.select(
+        col("cid"), col("vec_id").as("exemplar_id"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      val drop = m.select(
+        col("cid"), col("vec_id"),
+        col("v").as("cv"), col("nrm").as("cn"))
+      keep
+        .join(drop, "cid")
+        .filter(col("exemplar_id") < col("vec_id"))
+        .withColumn("cos", cosCol)
+        .filter(col("cos") >= 0.95)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("exemplar_id")).as("nege"))).as("m"))
+        .select(
+          col("vec_id").as("dropped_id"),
+          (-col("m.nege")).as("exemplar_id"),
+          round(col("m.cos"), 6).as("cosine"))
+        .orderBy(col("dropped_id"))
+    }),
+
     // Int8-quantized brute-force top-10: normalize, scale to [-127, 127],
     // round to integers, rank by the INTEGER dot product. At 100 TB this
     // is the memory-bandwidth play — 8-bit vectors are 4× smaller than
@@ -674,6 +751,31 @@ object EmbeddingQueries {
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    // Mirrors the deterministic √n-seed clustering, the top-2 soft cell
+    // assignment, and the within-cell smaller-id neighbor rule exactly —
+    // the oracle checks WHAT SemDeDup claims (within-cell dedup), so
+    // assignment and exemplar tie-breaks must be bit-identical.
+    "e_semantic_dedup" ->
+      s"""$nearCorpusCte,
+         |cent AS (SELECT vec_id AS cid, v, nrm FROM n WHERE vec_id %
+         |  (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT)) FROM n) = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT x.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY x.vec_id
+         |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
+         |  FROM n x CROSS JOIN cent c) WHERE rn <= 2),
+         |m AS (SELECT a.cid, n.vec_id, n.v, n.nrm
+         |      FROM asg a JOIN n ON n.vec_id = a.vec_id),
+         |p AS (SELECT DISTINCT b.vec_id, a.vec_id AS exemplar_id,
+         |        ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} AS cos
+         |      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |      WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.95),
+         |r AS (SELECT vec_id, exemplar_id, cos,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, exemplar_id) AS rn
+         |      FROM p)
+         |SELECT vec_id AS dropped_id, exemplar_id, round(cos, 6) AS cosine
+         |FROM r WHERE rn = 1 ORDER BY dropped_id""".stripMargin,
     // Exact ground truth — the LSH+verify path must reproduce it.
     "e_cosine_neardup_pairs" ->
       s"""$nearCorpusCte

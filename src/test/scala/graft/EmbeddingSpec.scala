@@ -111,6 +111,31 @@ class EmbeddingSpec extends SparkSpecBase {
     cor.unpersist()
   }
 
+  test("semantic dedup drops only planted copies, each against its source exemplar") {
+    val rows = EmbeddingQueries
+      .queries("e_semantic_dedup")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("dropped_id"), r.getAs[Long]("exemplar_id"),
+        r.getAs[Double]("cosine")))
+    // natural pair cosines max out ~0.51, so everything dropped must be a
+    // planted copy (id = source + 1000000) whose best kept neighbor is
+    // its own source vector at the planted cosine >= 0.95
+    assert(rows.nonEmpty, "no semantic duplicates found on the planted corpus")
+    rows.foreach { case (dropped, exemplar, cos) =>
+      assert(dropped >= 1000000L, s"non-planted vector $dropped dropped")
+      assert(exemplar == dropped - 1000000L,
+        s"$dropped deduped against $exemplar, not its source")
+      assert(cos >= 0.95)
+    }
+    // top-2 soft assignment finds nearly all planted pairs even on this
+    // isotropic (clustering-worst-case) corpus — hard assignment managed
+    // only 11/25; the residual misses are genuine cell-boundary splits,
+    // inherent to SemDeDup
+    val planted = (0L until 500L by 20).size
+    assert(rows.length * 10 >= planted * 8,
+      s"only ${rows.length} of $planted planted copies deduped — soft assignment not engaging")
+  }
+
   test("int8-quantized top-10 recalls >= 80% of the exact float top-10") {
     def topSets(name: String) = EmbeddingQueries
       .queries(name)(spark, Sf0001)
