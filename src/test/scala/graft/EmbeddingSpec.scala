@@ -152,6 +152,34 @@ class EmbeddingSpec extends SparkSpecBase {
       s"mean recall ${recalls.sum / recalls.size} below 0.8")
   }
 
+  test("PQ top-10: well-formed ranks, deterministic, and better-than-chance recall") {
+    def run() = EmbeddingQueries
+      .queries("e_pq_topk")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("qscore"), r.getAs[Int]("rank")))
+    val rows = run()
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L until 10L))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to 10))
+      val scores = rs.sortBy(_._4).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // fixed-order double folds ⇒ bit-identical rankings every run
+    assert(run().toSeq == rows.toSeq)
+    // 32-bit PQ codes are lossy, but ADC must still beat random ranking:
+    // random top-10 out of ~500 would overlap the exact top-10 ~0.02
+    val exact = EmbeddingQueries
+      .queries("e_bruteforce_topk")(spark, Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, ex) => (pq(q) & ex).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.1, s"mean PQ recall $mean not better than chance")
+  }
+
   test("IVF recall@10 metric equals the independently-computed set overlap") {
     val rows = EmbeddingQueries
       .queries("e_ivf_recall_at_k")(spark, Sf0001)
