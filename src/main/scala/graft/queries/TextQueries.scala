@@ -618,6 +618,118 @@ object TextQueries {
           coalesce(col("n_boiler_chunks"), lit(0L)).as("n_boiler_chunks")
         )
         .orderBy("doc_id")
+    }),
+
+    // Bigram language-model quality scoring — the classic "perplexity
+    // under a corpus LM" filter (CCNet-style) that ranks documents by how
+    // surprising they are under a model fit on the corpus itself. Model:
+    // add-one-smoothed conditional P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V)
+    // where c(w1·) sums bigram counts with history w1 and V is the
+    // bigram-participating vocabulary; score = per-doc mean negative
+    // log-likelihood over its bigrams.
+    //
+    // Scale design: the per-OCCURRENCE bigram stream never crosses a
+    // shuffle — bigrams are counted per doc first (groupBy doc_id,w1,w2
+    // with map-side combine), so the model join touches each DISTINCT
+    // (doc, bigram) once. The model tables (c_bi, c_hist) are vocab²-
+    // bounded (sub-linear in corpus bytes past saturation) and V is
+    // derived from the model table, not a second corpus scan. Float
+    // determinism: all counts are exact longs; ln/÷ run on identical
+    // doubles in both engines and per-doc scores are rounded before the
+    // per-source rollup (avg re-rounded after the exact-count division).
+    "t_bigram_lm_score" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val docBi = docs
+        .select(
+          col("doc_id"), col("source"),
+          explode(expr(
+            "transform(sequence(1, size(ws) - 1), i -> named_struct('w1', ws[i - 1], 'w2', ws[i]))"
+          )).as("bg"))
+        .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_doc"))
+      val biCounts = docBi.groupBy(col("w1"), col("w2")).agg(sum("c_doc").as("c_bi"))
+      val histCounts = biCounts.groupBy(col("w1")).agg(sum("c_bi").as("c_hist"))
+      // V from the model table (w1 ∪ w2 covers every token of every doc
+      // with ≥2 tokens), not a second pass over the corpus.
+      val vocab = biCounts.select(col("w1").as("w"))
+        .union(biCounts.select(col("w2").as("w")))
+        .agg(count_distinct(col("w")).as("v"))
+      docBi
+        .join(biCounts, Seq("w1", "w2"))
+        .join(histCounts, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(
+          sum(col("c_doc").cast("double") *
+            -log((col("c_bi") + 1).cast("double") / (col("c_hist") + col("v")).cast("double"))) /
+            sum(col("c_doc")).cast("double"), 6).as("nll"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("nll")), 6).as("avg_nll"),
+          min(col("nll")).as("min_nll"),
+          max(col("nll")).as("max_nll")
+        )
+        .orderBy("source")
+    }),
+
+    // Temperature-weighted source mixture sampling — the corpus-mixing
+    // step that up-weights small sources: source s gets a quota
+    // ∝ n_s^α (α = 0.5) of a 20 % global budget, selected by
+    // deterministic content-hash rank so the sample is reproducible.
+    //
+    // Integer-exact weights: sqrt is IEEE-correctly-rounded in BOTH
+    // engines (unlike ln/exp), so S_s = floor(sqrt(n_s)·1e6) and the
+    // pure-integer quota (target·S_s) div ΣS_s are bit-identical — no
+    // float boundary can flip a quota between Spark and the oracle.
+    //
+    // Two-phase exact selection (the 100 TB path): ranking all n_s rows
+    // per source is a per-source global sort (one source = one window
+    // partition). Instead a hash THRESHOLD with a 1.3× margin prefilters
+    // ~1.3·quota rows (h is uniform on [0,P)), and only survivors are
+    // ranked — the window sorts ~26 % of the corpus, not 100 %. The
+    // margin makes under-coverage vanishingly rare at scale (binomial
+    // tail shrinks as 1/√quota); either way both engines compute the
+    // identical filter+rank, so determinism never depends on the margin
+    // being sufficient.
+    "t_mixture_sampling" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("char_rolling_hash(text)").as("h"))
+      val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .withColumn("s_s", floor(sqrt(col("n_s").cast("double")) * 1e6).cast("long"))
+      val tot = counts.agg(sum("n_s").as("n_total"), sum("s_s").as("z"))
+      val quotas = counts.crossJoin(broadcast(tot))
+        .withColumn("quota",
+          least(col("n_s"), expr("((n_total div 5) * s_s) div z")))
+        .withColumn("h_cut",
+          expr("CAST(floor(quota * 1.3e0 / n_s * 1000000007e0) AS BIGINT)"))
+        .select("source", "n_s", "quota", "h_cut")
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      val taken = docs
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("h") < col("h_cut"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("quota"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_taken"),
+          sum(col("n_chars")).as("sampled_chars"),
+          sum(col("doc_id")).as("id_checksum")
+        )
+      quotas.select("source", "n_s", "quota")
+        .join(taken, Seq("source"), "left")
+        .select(
+          col("source"), col("n_s"), col("quota"),
+          coalesce(col("n_taken"), lit(0L)).as("n_taken"),
+          coalesce(col("sampled_chars"), lit(0L)).as("sampled_chars"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum")
+        )
+        .orderBy("source")
     })
   )
 
@@ -834,6 +946,50 @@ object TextQueries {
         |  round(avg(n_chars), 2) AS avg_chars,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  count(DISTINCT source) AS n_sources
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t_bigram_lm_score" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        |d2 AS (SELECT * FROM d WHERE len(ws) >= 2),
+        |p0 AS (SELECT doc_id, source, ws, unnest(range(1, len(ws))) AS i FROM d2),
+        |db AS (SELECT doc_id, source, ws[CAST(i AS INT)] AS w1,
+        |         ws[CAST(i AS INT) + 1] AS w2, count(*) AS c_doc
+        |       FROM p0 GROUP BY ALL),
+        |bi AS (SELECT w1, w2, sum(c_doc) AS c_bi FROM db GROUP BY w1, w2),
+        |hist AS (SELECT w1, sum(c_bi) AS c_hist FROM bi GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (
+        |        SELECT w1 AS w FROM bi UNION SELECT w2 AS w FROM bi)),
+        |nd AS (SELECT doc_id, source,
+        |         round(sum(CAST(c_doc AS DOUBLE) *
+        |                   -ln(CAST(c_bi + 1 AS DOUBLE) / CAST(c_hist + v AS DOUBLE))) /
+        |               CAST(sum(c_doc) AS DOUBLE), 6) AS nll
+        |       FROM db JOIN bi USING (w1, w2) JOIN hist USING (w1) CROSS JOIN v
+        |       GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs, round(avg(nll), 6) AS avg_nll,
+        |       min(nll) AS min_nll, max(nll) AS max_nll
+        |FROM nd GROUP BY source ORDER BY source""".stripMargin,
+    "t_mixture_sampling" ->
+      s"""WITH docs AS (SELECT doc_id, source, n_chars,
+         |                ${charHashDuck("text")} AS h FROM documents),
+         |c AS (SELECT source, count(*) AS n_s,
+         |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s_s
+         |      FROM docs GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total,
+         |               CAST(sum(s_s) AS BIGINT) AS z FROM c),
+         |q AS (SELECT source, n_s,
+         |        least(n_s, ((n_total // 5) * s_s) // z) AS quota,
+         |        CAST(floor(least(n_s, ((n_total // 5) * s_s) // z) * 1.3e0 / n_s * 1000000007e0) AS BIGINT) AS h_cut
+         |      FROM c CROSS JOIN tot),
+         |r AS (SELECT d.source, d.doc_id, d.n_chars, q.quota,
+         |        row_number() OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id) AS rn
+         |      FROM docs d JOIN q USING (source) WHERE d.h < q.h_cut),
+         |t AS (SELECT source, count(*) AS n_taken,
+         |        CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+         |        CAST(sum(doc_id) AS BIGINT) AS id_checksum
+         |      FROM r WHERE rn <= quota GROUP BY source)
+         |SELECT q.source, q.n_s, q.quota,
+         |  coalesce(t.n_taken, 0) AS n_taken,
+         |  coalesce(t.sampled_chars, 0) AS sampled_chars,
+         |  coalesce(t.id_checksum, 0) AS id_checksum
+         |FROM q LEFT JOIN t USING (source) ORDER BY q.source""".stripMargin
   )
 }

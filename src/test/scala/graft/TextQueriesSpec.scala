@@ -115,4 +115,81 @@ class TextQueriesSpec extends SparkSpecBase {
     // every reported overlap is at least one shared 8-gram
     assert(rows.forall(_.getAs[Long]("n_shared_ngrams") >= 1L))
   }
+
+  test("bigram LM: matches a driver-side reimplementation at sf0.001") {
+    val docs = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select("doc_id", "source", "text")
+      .collect()
+      // split(" ", -1) keeps trailing empties like Spark's split(text, ' ')
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+      .filter(_._3.length >= 2)
+    val docBi = docs.flatMap { case (id, src, ws) =>
+      ws.sliding(2).map(p => ((id, src), (p(0), p(1))))
+    }
+    val cDoc = docBi.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cBi = docBi.map(_._2).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val cHist = cBi.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val vocab = (cBi.keys.map(_._1) ++ cBi.keys.map(_._2)).toSet.size.toLong
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = cDoc.groupBy(_._1._1).map { case ((id, src), m) =>
+      val num = m.map { case (((_, _), bg), c) =>
+        c * -math.log((cBi(bg) + 1).toDouble / (cHist(bg._1) + vocab))
+      }.sum
+      val den = m.values.sum
+      (id, src, round6(num / den))
+    }
+    val expected = perDoc.groupBy(_._2).map { case (src, rs) =>
+      val nlls = rs.map(_._3)
+      src -> (rs.size.toLong, round6(nlls.sum / nlls.size), nlls.min, nlls.max)
+    }
+    val got = TextQueries.queries("t_bigram_lm_score")(spark, Sf0001).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, avg, mn, mx) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(math.abs(r.getAs[Double]("avg_nll") - avg) <= 2e-6)
+      assert(math.abs(r.getAs[Double]("min_nll") - mn) <= 2e-6)
+      assert(math.abs(r.getAs[Double]("max_nll") - mx) <= 2e-6)
+    }
+  }
+
+  test("mixture sampling: quota law, threshold semantics, sqrt re-weighting") {
+    graft.functions.CharRollingHash.register(spark)
+    val out = TextQueries.queries("t_mixture_sampling")(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val nBySource = out.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_s")).toMap
+    val nTotal = nBySource.values.sum
+    val z = nBySource.values.map(n => math.floor(math.sqrt(n.toDouble) * 1e6).toLong).sum
+    // reimplement: quota law + threshold prefilter + rank-take, driver-side
+    val hashed = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .selectExpr("doc_id", "source", "n_chars", "char_rolling_hash(text) AS h")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.foreach { r =>
+      val src = r.getAs[String]("source")
+      val nS = nBySource(src)
+      val sS = math.floor(math.sqrt(nS.toDouble) * 1e6).toLong
+      val quota = math.min(nS, (nTotal / 5) * sS / z)
+      assert(r.getAs[Long]("quota") == quota)
+      val hCut = math.floor(quota * 1.3e0 / nS * 1000000007e0).toLong
+      val taken = hashed
+        .filter(d => d._2 == src && d._4 < hCut)
+        .sortBy(d => (d._4, d._1))
+        .take(quota.toInt)
+      assert(r.getAs[Long]("n_taken") == taken.length.toLong)
+      assert(r.getAs[Long]("id_checksum") == taken.map(_._1).sum)
+      assert(r.getAs[Long]("sampled_chars") == taken.map(_._3).sum)
+    }
+    // sqrt temperature: sampling FRACTION is non-increasing in source size
+    val fracByN = out
+      .filter(_.getAs[Long]("quota") > 0)
+      .map(r => (r.getAs[Long]("n_s"), r.getAs[Long]("quota").toDouble / r.getAs[Long]("n_s")))
+      .sortBy(_._1)
+    fracByN.zip(fracByN.tail).foreach { case ((n1, f1), (n2, f2)) =>
+      if (n1 < n2) assert(f2 <= f1 + 1e-12)
+    }
+  }
 }
