@@ -673,6 +673,56 @@ object EmbeddingQueries {
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Matryoshka two-stage retrieval (Kusupati et al. 2022, "Matryoshka
+    // Representation Learning", NeurIPS): MRL-trained embeddings make
+    // every PREFIX a usable lower-dim embedding, so retrieval ranks the
+    // whole corpus by the 16-dim prefix cosine (¼ the dot-product work),
+    // shortlists the top-50 per query, and re-ranks ONLY the shortlist
+    // by full 64-dim cosine. The 100 TB shape: the prefix lives as its
+    // own column, so stage 1's scan reads 25 % of the vector bytes
+    // (column pruning, SIMD-friendly short dots), and stage 2 is a keyed
+    // JOIN fetching 50·|queries| full vectors — never a second corpus
+    // scan. Both stages are deterministic (cos DESC, neighbor_id
+    // tie-break) and every double is a fixed-order fold, so the oracle
+    // reproduces shortlist membership and both rankings bit-identically.
+    // On this corpus the prefix is a random projection, not MRL-trained
+    // — EmbeddingSpec measures the recall floor that survives even that.
+    "e_matryoshka_topk" -> ((s, dir) => {
+      val all = vecs(s, dir)
+        .withColumn("pv", expr("slice(v, 1, 16)"))
+        .withColumn("pn", expr(dotSpark("pv", "pv")))
+      val q = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("pv").as("qpv"), col("pn").as("qpn"))
+      val cPrefix = all.select(col("vec_id").as("neighbor_id"),
+        col("pv").as("cpv"), col("pn").as("cpn"))
+      val wPre = Window.partitionBy(col("query_id"))
+        .orderBy(col("pcos").desc, col("neighbor_id"))
+      val short = cPrefix
+        .join(broadcast(q.select("query_id", "qpv", "qpn")),
+          col("neighbor_id") =!= col("query_id"))
+        .withColumn("pcos", expr(s"${dotSpark("qpv", "cpv")} / (sqrt(qpn) * sqrt(cpn))"))
+        .withColumn("prefix_rank", row_number().over(wPre))
+        .filter(col("prefix_rank") <= 50)
+        .select("query_id", "neighbor_id", "prefix_rank")
+      // stage 2: fetch full vectors for the shortlist only (keyed join)
+      val wFull = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      short
+        .join(all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"),
+          col("nrm").as("cn")), Seq("neighbor_id"))
+        .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(wFull))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"),
+          col("prefix_rank").cast("int").as("prefix_rank"),
+          col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -728,6 +778,32 @@ object EmbeddingQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Two-stage matryoshka retrieval: prefix-cosine shortlist (top-50)
+    // re-ranked by full cosine — both rankings mirrored exactly.
+    "e_matryoshka_topk" ->
+      s"""$vecsCte,
+         |p0 AS (SELECT vec_id, v, nrm, v[1:16] AS pv FROM n),
+         |p AS (SELECT vec_id, v, nrm, pv, ${dotDuck("pv", "pv")} AS pn FROM p0),
+         |s1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${dotDuck("q.pv", "c.pv")} / (sqrt(q.pn) * sqrt(c.pn)) AS pcos
+         |       FROM p q JOIN p c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r1 AS (SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY pcos DESC, neighbor_id) AS prefix_rank
+         |       FROM s1),
+         |short AS (SELECT query_id, neighbor_id, prefix_rank FROM r1 WHERE prefix_rank <= 50),
+         |s2 AS (SELECT short.query_id, short.neighbor_id, short.prefix_rank,
+         |         ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |       FROM short
+         |       JOIN p c ON c.vec_id = short.neighbor_id
+         |       JOIN p q ON q.vec_id = short.query_id),
+         |r2 AS (SELECT query_id, neighbor_id, cos, prefix_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos DESC, neighbor_id) AS rank
+         |       FROM s2)
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+         |       CAST(prefix_rank AS INT) AS prefix_rank, CAST(rank AS INT) AS rank
+         |FROM r2 WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "e_ivf_topk" ->
       s"""$vecsCte,
          |$ivfScSql,
