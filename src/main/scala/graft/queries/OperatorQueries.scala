@@ -446,6 +446,60 @@ object OperatorQueries {
         .unionAll(layoutStats("2_bykey", Seq(col("x"), col("l_orderkey"), col("l_linenumber"))))
         .unionAll(layoutStats("3_zorder", Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
         .orderBy("layout")
+    }),
+
+    // CDC MERGE — Delta/Iceberg `MERGE INTO` semantics as a batch plan:
+    // apply a changelog (events; latest op per key wins) to a snapshot
+    // (customer): signup/purchase/click/view upsert the key's balance to
+    // the event value, 'error' deletes the key, keys without events pass
+    // through unchanged, deletes of absent keys are no-ops. Output is the
+    // per-action audit row MERGE reports (n, balance checksum, key range)
+    // — O(1) rows at any scale.
+    //
+    // Scale shape: latest-per-key is ONE exchange with map-side partial
+    // aggregation — `max(struct(ts, event_id, payload...))` is an
+    // associative struct-max (ts then unique event_id decide before any
+    // payload field can; DuckDB struct comparison is the same
+    // lexicographic order, so the oracle picks identical winners), NOT a
+    // per-key window sort of the whole changelog. The merge itself is a
+    // key-partitioned full-outer join — both sides shuffle once on the
+    // merge key; at 100 TB the snapshot side would be bucketed on key,
+    // making this exchange-free on that side (o_bucketed_join_stats
+    // demonstrates that layout).
+    "o_cdc_merge_snapshot" -> ((s, dir) => {
+      val base = table(s, dir, "customer")
+        .select(col("c_custkey").as("key"), cents(col("c_acctbal")).as("bal_cents"),
+          lit(1).as("in_base"))
+      // every 7th event targets a key ABOVE the snapshot range, so the
+      // changelog exercises all MERGE actions (insert + no-op delete
+      // included) — events.user_id otherwise always resolves to an
+      // existing customer; mirrored in the oracle
+      val latest = Q.events(s, dir)
+        .select(
+          expr("user_id + 1 + CASE WHEN event_id % 7 = 0 THEN 100000000 ELSE 0 END").as("key"),
+          col("ts"), col("event_id"),
+          col("event_type"), cents(col("value")).as("val_cents"))
+        .groupBy(col("key"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"), col("val_cents"))).as("m"))
+        .select(col("key"), col("m.event_type").as("op"), col("m.val_cents").as("val_cents"))
+      base.join(latest, Seq("key"), "full_outer")
+        .withColumn("action", expr(
+          """CASE WHEN op IS NULL THEN 'unchanged'
+            |     WHEN op = 'error' AND in_base IS NOT NULL THEN 'deleted'
+            |     WHEN op = 'error' THEN 'noop_delete'
+            |     WHEN in_base IS NULL THEN 'inserted'
+            |     ELSE 'updated' END""".stripMargin))
+        .withColumn("new_bal", expr(
+          """CASE WHEN action IN ('deleted', 'noop_delete') THEN CAST(NULL AS BIGINT)
+            |     WHEN action = 'unchanged' THEN bal_cents
+            |     ELSE val_cents END""".stripMargin))
+        .groupBy(col("action"))
+        .agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(col("new_bal")), lit(0L)).as("bal_cents_sum"),
+          min(col("key")).as("min_key"),
+          max(col("key")).as("max_key"))
+        .orderBy("action")
     })
   )
 
@@ -575,6 +629,33 @@ object OperatorQueries {
          |UNION ALL
          |${layout("3_zorder", "z, l_orderkey, l_linenumber")}
          |ORDER BY layout""".stripMargin
-    }
+    },
+    "o_cdc_merge_snapshot" ->
+      s"""WITH base AS (SELECT c_custkey AS key, ${centsSql("c_acctbal")} AS bal_cents,
+         |                1 AS in_base FROM customer),
+         |lg AS (SELECT user_id + 1 + CASE WHEN event_id % 7 = 0 THEN 100000000 ELSE 0 END AS key,
+         |         max(struct_pack(ts := ts, event_id := event_id,
+         |                         event_type := event_type,
+         |                         val_cents := ${centsSql("value")})) AS m
+         |       FROM events GROUP BY 1),
+         |latest AS (SELECT key, (m).event_type AS op, (m).val_cents AS val_cents FROM lg),
+         |j AS (SELECT coalesce(b.key, l.key) AS key, b.bal_cents, b.in_base, l.op, l.val_cents
+         |      FROM base b FULL OUTER JOIN latest l ON b.key = l.key),
+         |a AS (SELECT *,
+         |        CASE WHEN op IS NULL THEN 'unchanged'
+         |             WHEN op = 'error' AND in_base IS NOT NULL THEN 'deleted'
+         |             WHEN op = 'error' THEN 'noop_delete'
+         |             WHEN in_base IS NULL THEN 'inserted'
+         |             ELSE 'updated' END AS action
+         |      FROM j),
+         |b2 AS (SELECT *,
+         |         CASE WHEN action IN ('deleted', 'noop_delete') THEN NULL
+         |              WHEN action = 'unchanged' THEN bal_cents
+         |              ELSE val_cents END AS new_bal
+         |       FROM a)
+         |SELECT action, count(*) AS n,
+         |  CAST(coalesce(sum(new_bal), 0) AS BIGINT) AS bal_cents_sum,
+         |  min(key) AS min_key, max(key) AS max_key
+         |FROM b2 GROUP BY action ORDER BY action""".stripMargin
   )
 }
