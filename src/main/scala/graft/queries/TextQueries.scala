@@ -641,6 +641,13 @@ object TextQueries {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
+      // materialized ONCE (localCheckpoint): docBi feeds the model build
+      // (c_bi → c_hist → V) AND the scoring join — without the barrier
+      // Catalyst re-derives the tokenize+explode+groupBy chain per
+      // consumer (4 corpus scans; the multi-consumer recompute trap
+      // DedupQueries.hashedSets documents). At 100 TB this is the
+      // persisted per-doc bigram-count table a production LM filter
+      // keeps beside the corpus.
       val docBi = docs
         .select(
           col("doc_id"), col("source"),
@@ -650,6 +657,7 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .groupBy(col("doc_id"), col("source"), col("w1"), col("w2"))
         .agg(count(lit(1)).as("c_doc"))
+        .localCheckpoint()
       val biCounts = docBi.groupBy(col("w1"), col("w2")).agg(sum("c_doc").as("c_bi"))
       val histCounts = biCounts.groupBy(col("w1")).agg(sum("c_bi").as("c_hist"))
       // V from the model table (w1 ∪ w2 covers every token of every doc
@@ -709,6 +717,9 @@ object TextQueries {
         .withColumn("h_cut",
           expr("CAST(floor(quota * 1.3e0 / n_s * 1000000007e0) AS BIGINT)"))
         .select("source", "n_s", "quota", "h_cut")
+        // tiny (one row per source) but consumed twice — materialize so
+        // the count-by-source corpus scan underneath runs once
+        .localCheckpoint()
       val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
       val taken = docs
         .join(broadcast(quotas), Seq("source"))
