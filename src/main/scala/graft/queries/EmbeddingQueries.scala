@@ -675,6 +675,77 @@ object EmbeddingQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Hard-negative mining — the contrastive-training data op (DPR /
+    // Contriever style): for each query, the top-5 most-similar corpus
+    // vectors that are NOT positives — candidates at cosine ≥ 0.95
+    // (near-dups/paraphrases of the query, planted here by nearCorpus)
+    // are excluded first, because training against a true duplicate as a
+    // "negative" poisons the objective. Output carries the per-query
+    // excluded-positive count so the exclusion is itself verified.
+    // Scale shape = brute-force top-k (broadcast 10-query panel, one
+    // corpus pass); in production the candidate pass rides the same IVF/
+    // LSH index as e_ivf_topk — the exclusion filter and ranking are
+    // unchanged.
+    "e_hard_negatives" -> ((s, dir) => {
+      val all = nearCorpus(s, dir)
+      val q = all
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val c = all.select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"))
+      val scored = c
+        .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosCol)
+      val posCounts = scored
+        .filter(col("cos") >= 0.95)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_positives_excluded"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      scored
+        .filter(col("cos") < 0.95)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .join(posCounts, Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos"), 6).as("cosine"), col("rank").cast("int").as("rank"),
+          coalesce(col("n_positives_excluded"), lit(0L)).as("n_positives_excluded"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF index-health stats — the monitoring row an ANN pipeline emits
+    // after every index build: cell count, assigned total, cell-size
+    // min/max/avg and the imbalance factor (max/avg). A skewed index
+    // (imbalance ≫ 1) degrades probe cost and recall simultaneously;
+    // this is the observability face of the k ≈ √n growth law. One
+    // broadcast-argmax assignment pass + one groupBy — same cost class
+    // as the index build itself; O(1) output.
+    "e_ivf_balance_stats" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val nVec = cachedRowCount(s, dir, "embeddings")
+      val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
+      val cent = all
+        .filter(col("vec_id") % seedMod === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      val asg = all
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosCol)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m"))
+        .select(col("vec_id"), (-col("m.negcid")).as("cid"))
+      asg
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("sz")).as("n_assigned"),
+          min(col("sz")).as("min_size"),
+          max(col("sz")).as("max_size"),
+          round(avg(col("sz")), 6).as("avg_size"),
+          // max/avg as exact-integer ratio: max·cells/total, one division
+          round(max(col("sz")) * count(lit(1)) / sum(col("sz")).cast("double"), 6)
+            .as("imbalance"))
+    }),
+
     // Matryoshka two-stage retrieval (Kusupati et al. 2022, "Matryoshka
     // Representation Learning", NeurIPS): MRL-trained embeddings make
     // every PREFIX a usable lower-dim embedding, so retrieval ranks the
@@ -778,6 +849,30 @@ object EmbeddingQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Hard negatives: positives (cos ≥ 0.95) excluded, top-5 of the rest.
+    "e_hard_negatives" ->
+      s"""$nearCorpusCte,
+         |sc AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |         ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |       FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |pos AS (SELECT query_id, count(*) AS n_pos FROM sc WHERE cos >= 0.95 GROUP BY 1),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM sc WHERE cos < 0.95)
+         |SELECT r.query_id, r.neighbor_id, round(r.cos, 6) AS cosine,
+         |       CAST(r.rank AS INT) AS rank,
+         |       coalesce(pos.n_pos, 0) AS n_positives_excluded
+         |FROM r LEFT JOIN pos ON pos.query_id = r.query_id
+         |WHERE r.rank <= 5 ORDER BY r.query_id, r.rank""".stripMargin,
+    // IVF cell-size distribution from the mirrored assignment CTE.
+    "e_ivf_balance_stats" ->
+      s"""$vecsCte,
+         |$ivfScSql,
+         |g AS (SELECT cid, count(*) AS sz FROM asg GROUP BY cid)
+         |SELECT count(*) AS n_cells, CAST(sum(sz) AS BIGINT) AS n_assigned,
+         |  min(sz) AS min_size, max(sz) AS max_size, round(avg(sz), 6) AS avg_size,
+         |  round(max(sz) * count(*) / CAST(sum(sz) AS DOUBLE), 6) AS imbalance
+         |FROM g""".stripMargin,
     // Two-stage matryoshka retrieval: prefix-cosine shortlist (top-50)
     // re-ranked by full cosine — both rankings mirrored exactly.
     "e_matryoshka_topk" ->

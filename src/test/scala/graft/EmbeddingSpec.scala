@@ -233,4 +233,50 @@ class EmbeddingSpec extends SparkSpecBase {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.3, s"matryoshka mean recall $mean below floor")
   }
+
+  test("hard negatives: positives excluded, planted dup counted, ranks dense") {
+    val rows = EmbeddingQueries
+      .queries("e_hard_negatives")(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_positives_excluded")))
+    assert(rows.map(_._1).distinct.sorted.toSeq == (0L until 10L))
+    // no returned "negative" may be a positive (cos >= 0.95)
+    assert(rows.forall(_._3 < 0.95))
+    rows.groupBy(_._1).values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to 5))
+      val cs = rs.sortBy(_._4).map(_._3)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+    // vec 0 has a planted near-dup (nearCorpus copies every 20th vector
+    // at cosine >= 0.97) — its exclusion count must see it
+    val q0 = rows.filter(_._1 == 0L)
+    assert(q0.head._5 >= 1L, "query 0 should have excluded its planted dup")
+    // queries without planted copies exclude nothing on isotropic data
+    val q1 = rows.filter(_._1 == 1L)
+    assert(q1.head._5 == 0L)
+  }
+
+  test("IVF balance stats: totals add up against the corpus and seed law") {
+    val r = EmbeddingQueries
+      .queries("e_ivf_balance_stats")(spark, Sf0001)
+      .collect()
+    assert(r.length == 1)
+    val row = r.head
+    val n = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    val seedMod = math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong)
+    val nCentroids = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % seedMod === 0)
+      .count()
+    assert(row.getAs[Long]("n_assigned") == n)
+    // every centroid owns at least itself (cos=1 to itself), so no cell
+    // is empty and n_cells equals the seeded centroid count
+    assert(row.getAs[Long]("n_cells") == nCentroids)
+    assert(row.getAs[Long]("min_size") >= 1L)
+    assert(row.getAs[Long]("min_size") <= row.getAs[Long]("max_size"))
+    val avg = row.getAs[Double]("avg_size")
+    assert(row.getAs[Long]("min_size") <= avg && avg <= row.getAs[Long]("max_size"))
+    assert(row.getAs[Double]("imbalance") >= 1.0)
+  }
 }
