@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.etl.{Metrics, Normalize}
-import graft.queries.{DedupQueries, EmbeddingQueries, MediaQueries, OperatorQueries, ParityQueries, StarQueries, StreamQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, MediaQueries, OperatorQueries, ParityQueries, StarQueries, StreamQueries, TextQueries}
 import graft.sources.MockUserSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,12 +24,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ StarQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
-      StreamQueries.queries ++ MediaQueries.queries ++ OperatorQueries.queries
+      StreamQueries.queries ++ MediaQueries.queries ++ OperatorQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracle ++ StarQueries.oracle ++ DedupQueries.oracle ++
       TextQueries.oracle ++ EmbeddingQueries.oracle ++
-      StreamQueries.oracle ++ MediaQueries.oracle ++ OperatorQueries.oracle
+      StreamQueries.oracle ++ MediaQueries.oracle ++ OperatorQueries.oracle ++
+      CurationQueries.oracle
 }

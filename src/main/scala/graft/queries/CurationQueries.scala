@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFeatures.{charHashDuck, hashedNgramsDuck, hashedNgramsSpark}
+import graft.plans.GroupedTopK
+
+/** Corpus-curation suite over `documents` — the selection/retrieval side
+  * of a training-data pipeline, complementing the feature-extraction tier
+  * in [[TextQueries]] and the near-dup tier in [[DedupQueries]]:
+  *
+  *   - BM25 retrieval ranking (`t_bm25_topk`)
+  *   - substring-span (n-gram span) duplication profile (`t_span_dedup`,
+  *     the intra-corpus form of Lee et al. 2022, arXiv:2107.06499 —
+  *     "Deduplicating Training Data Makes Language Models Better")
+  *   - deterministic weighted sampling without replacement
+  *     (`t_weighted_sample`, priority-sampling form of Efraimidis &
+  *     Spirakis 2006 with hash-derived priorities)
+  *   - tokenizer-training first step: top adjacent-pair frequencies
+  *     (`t_bpe_merge_step`, the argmax of BPE's first merge — Sennrich
+  *     et al. 2016, arXiv:1508.07909)
+  *   - token-budget-constrained selection (`t_token_budget_select`)
+  *   - per-source quality-score calibration (`t_quality_calibration`)
+  *
+  * Portability discipline is the suite-wide one: every score is integer
+  * fixed-point (e6) or an exact count, every ranking has a total
+  * deterministic order (score, then id), so the DuckDB oracle reproduces
+  * each result bit-for-bit. DuckDB's `//` and Spark's `div` both truncate
+  * toward zero; every quotient here has a non-negative numerator and
+  * positive denominator, so even that distinction is moot.
+  */
+object CurationQueries {
+  import Q._
+
+  val queries: Map[String, Fn] = Map(
+    // BM25 top-5 documents for a deterministic 3-term query panel (the
+    // highest-df terms — a self-contained stand-in for a query log).
+    // The scoring is the k1=1.2 / b=0.75 BM25 term shape with a RATIONAL
+    // idf (no log): idf_e6 = (N - df + 0.5)/(df + 0.5) scaled to e6 —
+    // monotone in the classic Robertson idf, so rankings are preserved,
+    // and transcendental-free so the oracle is bit-exact (a log's last
+    // ulp can differ between libm builds and flip a near-tie). The tf
+    // part is cleared of fractions by multiplying through by 10·T
+    // (T = corpus token count, N = doc count, dl = doc length):
+    //   tf_part_e6 = 22·tf·T·1e6 div (10·tf·T + 3·T + 9·dl·N)  ∈ [0, 2.2e6]
+    // Long-range audit: 22·tf·T·1e6 stays under 2^63 through sf10
+    // (T ≈ 1e8); a 100 TB corpus (T ~ 1e13) widens the two products to
+    // DECIMAL(38,0) — same truncating division, same result mod scale.
+    // Scale: tf/df are single-shuffle partial aggs; the 3-term panel is
+    // a TakeOrdered (no global window); per-term top-5 rides the
+    // GroupedTopK physical operator (bounded map-side heaps), so the
+    // hottest term's posting list never sorts fully.
+    "t_bm25_topk" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+      val qterms = dfreq.orderBy(col("df").desc, col("term")).limit(3)
+      val scored = tf
+        .join(broadcast(qterms), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf_e6", expr("((2 * n_docs - 2 * df + 1) * 1000000L) div (2 * df + 1)"))
+        .withColumn(
+          "tf_part_e6",
+          expr("(22 * tf * n_toks * 1000000L) div (10 * tf * n_toks + 3 * n_toks + 9 * dl * n_docs)")
+        )
+        .withColumn("score_e6", expr("(idf_e6 * tf_part_e6) div 1000000"))
+      val w = Window.partitionBy(col("term")).orderBy(col("score_e6").desc, col("doc_id"))
+      GroupedTopK
+        .topK(scored, Seq("term"), Seq(col("score_e6").desc, col("doc_id").asc), k = 5)
+        .withColumn("rank", row_number().over(w)) // ≤15 rows — window is a formality
+        .select(col("term"), col("doc_id"), col("tf"), col("df"), col("dl"), col("score_e6"), col("rank"))
+        .orderBy(col("term"), col("rank"))
+    }),
+
+    // Substring-span duplication profile (intra-corpus exact-span dedup
+    // plan): every 8-word span is hashed (word char-hashes folded — no
+    // per-span string allocation), spans seen in ≥2 documents are "dup",
+    // and each doc gets a duplicated-span fraction; the output is the
+    // per-source removal report a span-dedup run would emit. Natural
+    // 8-gram overlap in the driver corpus is ~zero, so duplication is
+    // PLANTED (mirrored in the oracle): every 11th doc gains a copy that
+    // is exactly its own first 20 words — the copy's spans are all dup
+    // (fraction 1e6 → flagged), the original gains the same 13 dup spans
+    // out of its full span set (small fraction → kept): the asymmetry
+    // between "document that is mostly copied text" and "document that
+    // contains some copied text" is the thing span-level dedup measures.
+    // Scale: span hashes are 8-byte keys; the df pass is a partial agg;
+    // the dup-set join is a plain shuffle join AQE can size (at 100 TB
+    // the dup set is NOT broadcastable by assumption — boilerplate mass
+    // is the OOM risk, same reasoning as t_boilerplate_chunks); output
+    // is O(#sources).
+    "t_span_dedup" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 11 === 0)
+        .select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          col("source"),
+          expr("array_join(slice(split(text, ' '), 1, 20), ' ')").as("text")
+        )
+      val spans = docs
+        .unionAll(planted)
+        .withColumn("ws", split(col("text"), " "))
+        // let-bind the word-hash array (array(...) + flatten) so
+        // projection collapse can't re-hash every word per n-gram —
+        // same guard as t_ngram_decontaminate (r4 profiling).
+        .withColumn(
+          "g",
+          expr(
+            s"array_distinct(flatten(transform(array(transform(ws, w -> char_rolling_hash(w))), wh -> ${hashedNgramsSpark("wh", 8)})))"
+          )
+        )
+        .select(col("doc_id"), col("source"), explode(col("g")).as("h"))
+      // spans are distinct within a doc, so count(*) = distinct docs
+      val dupSpans = spans
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("h"), lit(1L).as("isdup"))
+      spans
+        .join(dupSpans, Seq("h"), "left")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_spans"), sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_frac_e6", expr("(n_dup * 1000000) div n_spans"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac_e6") > 500000, 1L).otherwise(0L)).as("n_flagged"),
+          sum(col("n_dup")).as("total_dup_spans"),
+          max(col("dup_frac_e6")).as("max_dup_frac_e6")
+        )
+        .orderBy("source")
+    }),
+
+    // Deterministic weighted sampling without replacement: per source,
+    // the 5 docs with the smallest priority key u/w (priority-sampling
+    // form of Efraimidis-Spirakis), where u is a hash-derived uniform
+    // (char_rolling_hash mod 1000003 — content-keyed, so the sample is
+    // reproducible across runs AND engines) and w = n_chars: longer docs
+    // are proportionally likelier. key_e6 = u·1e6 div n_chars keeps the
+    // key integer. Scale: per-source top-k rides GroupedTopK (bounded
+    // map-side heaps, one shuffle on source) — no global or per-source
+    // sort ever materializes.
+    "t_weighted_sample" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      val pri = table(s, dir, "documents")
+        .withColumn("u", expr("char_rolling_hash(text) % 1000003 + 1"))
+        .withColumn("key_e6", expr("(u * 1000000) div n_chars"))
+        .select(col("source"), col("doc_id"), col("n_chars"), col("u"), col("key_e6"))
+      val w = Window.partitionBy(col("source")).orderBy(col("key_e6"), col("doc_id"))
+      GroupedTopK
+        .topK(pri, Seq("source"), Seq(col("key_e6").asc, col("doc_id").asc), k = 5)
+        .withColumn("rank", row_number().over(w)) // sources×5 rows — formality
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"), col("u"), col("key_e6"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Tokenizer training, step 1: the corpus-wide adjacent character-pair
+    // frequency table whose argmax is BPE's first merge (Sennrich 2016).
+    // Computed word-frequency-weighted, as BPE does: words are counted
+    // once (first shuffle, the heavy one — partial aggs collapse the
+    // stream), then each DISTINCT word explodes into its ≤len-1 pairs
+    // weighted by its count (second shuffle over a tiny pair domain,
+    // ≤ alphabet² keys — map-side combine makes it scan-bound). Top-20
+    // via TakeOrdered, no global window.
+    "t_bpe_merge_step" -> ((s, dir) => {
+      val wc = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("wc"))
+      val pairs = wc
+        .filter(length(col("w")) >= 2)
+        .select(
+          col("wc"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair")
+        )
+        .groupBy(col("pair"))
+        .agg(sum(col("wc")).as("freq"))
+      val w = Window.orderBy(col("freq").desc, col("pair"))
+      pairs
+        .orderBy(col("freq").desc, col("pair"))
+        .limit(20)
+        .withColumn("rank", row_number().over(w)) // 20 rows — formality
+        .select(col("pair"), col("freq"), col("rank"))
+        .orderBy(col("rank"))
+    }),
+
+    // Token-budget-constrained selection: fill a 20 000-token training
+    // budget with the highest-quality docs. NOT a global quality sort:
+    // quality is bucketed to 1000 fixed levels, the budget threshold is
+    // found on the ≤1001-row bucket histogram (the only "global" window,
+    // over a FIXED-size frame at any corpus scale), whole buckets above
+    // the threshold are taken, and only the single boundary bucket is
+    // ordered (by doc_id) to fill the remainder — the per-bucket window
+    // partitions on qb, so no unbounded sort exists anywhere in the
+    // plan. (If the boundary bucket itself were pathological at scale,
+    // the same scheme recurses on a finer sub-bucket — the histogram
+    // trick composes.) Output is one summary row.
+    "t_token_budget_select" -> ((s, dir) => {
+      val budget = 20000L
+      val d = table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("q", expr(TextQueries.qualitySpark))
+        .select(
+          col("doc_id"),
+          size(col("ws")).cast("long").as("toks"),
+          expr("CAST(floor(q * 1000) AS BIGINT)").as("qb")
+        )
+      val hist = d.groupBy(col("qb")).agg(count(lit(1)).as("nd"), sum(col("toks")).as("bt"))
+      val wCum = Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("bt")).over(wCum))
+      val fullStats = cum
+        .filter(col("cum") <= budget)
+        .agg(
+          coalesce(sum(col("nd")), lit(0L)).as("n_full_docs"),
+          coalesce(sum(col("bt")), lit(0L)).as("full_tokens"),
+          min(col("qb")).as("min_full_qb")
+        )
+      val boundary = cum
+        .filter(col("cum") - col("bt") < budget && col("cum") > budget)
+        .select(col("qb"), (lit(budget) - (col("cum") - col("bt"))).as("remaining"))
+      val wIn = Window.partitionBy(col("qb")).orderBy(col("doc_id"))
+      val bStats = d
+        .join(broadcast(boundary), "qb")
+        .withColumn("cc", sum(col("toks")).over(wIn))
+        .filter(col("cc") <= col("remaining"))
+        .agg(count(lit(1)).as("n_boundary_docs"), coalesce(sum(col("toks")), lit(0L)).as("boundary_tokens"))
+      val bq = boundary.agg(min(col("qb")).as("bqb"))
+      fullStats
+        .crossJoin(bStats)
+        .crossJoin(bq)
+        .select(
+          lit(budget).as("budget"),
+          coalesce(col("bqb"), col("min_full_qb"), lit(-1L)).as("threshold_qb"),
+          col("n_full_docs"),
+          col("full_tokens"),
+          col("n_boundary_docs"),
+          col("boundary_tokens"),
+          (col("n_full_docs") + col("n_boundary_docs")).as("n_selected"),
+          (col("full_tokens") + col("boundary_tokens")).as("tokens_selected")
+        )
+    }),
+
+    // Per-source quality calibration: the decile table a mixture-weighting
+    // stage reads ("is a 0.62-quality doc from source X above or below its
+    // source's median?"). Same histogram discipline as the budget select:
+    // quality → 1000 fixed buckets, the cumulative pass runs per source
+    // over ≤1001 rows, and a bucket's decile is that of its FIRST element
+    // ((cum_excl·10) div total) — deterministic, no per-doc window, no
+    // percent_rank sort over the corpus. Output is O(sources × 10).
+    "t_quality_calibration" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("q", expr(TextQueries.qualitySpark))
+        .select(col("source"), expr("CAST(floor(q * 1000) AS BIGINT)").as("qb"))
+      val hist = d.groupBy(col("source"), col("qb")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window
+        .partitionBy(col("source"))
+        .orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .join(tot, "source")
+        .withColumn("decile", expr("((cum - cnt) * 10) div total"))
+        .groupBy(col("source"), col("decile"))
+        .agg(sum(col("cnt")).as("n_docs"), min(col("qb")).as("min_qb"), max(col("qb")).as("max_qb"))
+        .orderBy(col("source"), col("decile"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t_bm25_topk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dd AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, ws FROM d),
+        |tk AS (SELECT doc_id, dl, unnest(ws) AS term FROM dd),
+        |tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tk GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_toks FROM dd),
+        |qterms AS (SELECT term, df FROM dfreq ORDER BY df DESC, term LIMIT 3),
+        |sc AS (SELECT t.term, t.doc_id, t.tf, q.df, t.dl,
+        |         ((2 * s.n_docs - 2 * q.df + 1) * 1000000) // (2 * q.df + 1) AS idf_e6,
+        |         (22 * t.tf * s.n_toks * 1000000)
+        |           // (10 * t.tf * s.n_toks + 3 * s.n_toks + 9 * t.dl * s.n_docs) AS tf_part_e6
+        |       FROM tfc t JOIN qterms q USING (term) CROSS JOIN stats s),
+        |r AS (SELECT term, doc_id, tf, df, dl,
+        |        (idf_e6 * tf_part_e6) // 1000000 AS score_e6,
+        |        row_number() OVER (PARTITION BY term
+        |          ORDER BY (idf_e6 * tf_part_e6) // 1000000 DESC, doc_id) AS rank
+        |      FROM sc)
+        |SELECT term, doc_id, tf, df, dl, score_e6, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY term, rank""".stripMargin,
+    "t_span_dedup" -> {
+      val ngramHash = s"list_distinct(${hashedNgramsDuck("wh", 8)})"
+      s"""WITH planted AS (SELECT doc_id + 3000000 AS doc_id, source,
+         |    array_to_string(string_split(text, ' ')[1:20], ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |cor AS (SELECT doc_id, source, text FROM documents
+         |        UNION ALL SELECT doc_id, source, text FROM planted),
+         |sp AS (SELECT doc_id, source, unnest($ngramHash) AS h
+         |       FROM (SELECT doc_id, source,
+         |               [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh
+         |             FROM cor)),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+         |pd AS (SELECT sp.doc_id, sp.source, count(*) AS n_spans,
+         |         CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |       FROM sp LEFT JOIN dup USING (h) GROUP BY 1, 2),
+         |pf AS (SELECT source, n_dup, (n_dup * 1000000) // n_spans AS dup_frac_e6 FROM pd)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN dup_frac_e6 > 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(n_dup) AS BIGINT) AS total_dup_spans,
+         |  max(dup_frac_e6) AS max_dup_frac_e6
+         |FROM pf GROUP BY source ORDER BY source""".stripMargin
+    },
+    "t_weighted_sample" ->
+      s"""WITH pri AS (SELECT source, doc_id, n_chars,
+         |    ${charHashDuck("text")} % 1000003 + 1 AS u
+         |  FROM documents),
+         |k AS (SELECT source, doc_id, n_chars, u, (u * 1000000) // n_chars AS key_e6 FROM pri),
+         |r AS (SELECT source, doc_id, n_chars, u, key_e6,
+         |        row_number() OVER (PARTITION BY source ORDER BY key_e6, doc_id) AS rank
+         |      FROM k)
+         |SELECT source, CAST(rank AS INT) AS rank, doc_id, n_chars, u, key_e6
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "t_bpe_merge_step" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS wc FROM toks GROUP BY 1),
+        |pr AS (SELECT wc, unnest([w[i:i+1] for i in range(1, len(w))]) AS pair
+        |       FROM wc WHERE len(w) >= 2),
+        |pf AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS freq FROM pr GROUP BY 1),
+        |r AS (SELECT pair, freq, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM pf)
+        |SELECT pair, freq, CAST(rank AS INT) AS rank FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "t_token_budget_select" -> {
+      s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS toks,
+         |        CAST(floor((${TextQueries.qualityDuck}) * 1000) AS BIGINT) AS qb
+         |      FROM d0),
+         |hist AS (SELECT qb, count(*) AS nd, CAST(sum(toks) AS BIGINT) AS bt FROM d GROUP BY 1),
+         |c AS (SELECT qb, nd, bt,
+         |        sum(bt) OVER (ORDER BY qb DESC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM hist),
+         |fs AS (SELECT coalesce(CAST(sum(nd) AS BIGINT), 0) AS n_full_docs,
+         |         coalesce(CAST(sum(bt) AS BIGINT), 0) AS full_tokens,
+         |         min(qb) AS min_full_qb
+         |       FROM c WHERE cum <= 20000),
+         |bound AS (SELECT qb, 20000 - (cum - bt) AS remaining FROM c
+         |          WHERE cum - bt < 20000 AND cum > 20000),
+         |bsel AS (SELECT qb, toks FROM (
+         |    SELECT d.qb, d.toks, bound.remaining,
+         |      sum(d.toks) OVER (PARTITION BY d.qb ORDER BY d.doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+         |    FROM d JOIN bound USING (qb)) WHERE cc <= remaining),
+         |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_boundary_docs,
+         |         coalesce(CAST(sum(toks) AS BIGINT), 0) AS boundary_tokens FROM bsel),
+         |bq AS (SELECT min(qb) AS bqb FROM bound)
+         |SELECT CAST(20000 AS BIGINT) AS budget,
+         |  coalesce(bq.bqb, fs.min_full_qb, -1) AS threshold_qb,
+         |  fs.n_full_docs, fs.full_tokens, bs.n_boundary_docs, bs.boundary_tokens,
+         |  fs.n_full_docs + bs.n_boundary_docs AS n_selected,
+         |  fs.full_tokens + bs.boundary_tokens AS tokens_selected
+         |FROM fs, bs, bq""".stripMargin
+    },
+    "t_quality_calibration" -> {
+      s"""WITH d0 AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |d AS (SELECT source,
+         |        CAST(floor((${TextQueries.qualityDuck}) * 1000) AS BIGINT) AS qb
+         |      FROM d0),
+         |hist AS (SELECT source, qb, count(*) AS cnt FROM d GROUP BY 1, 2),
+         |c AS (SELECT source, qb, cnt,
+         |        sum(cnt) OVER (PARTITION BY source ORDER BY qb
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM hist),
+         |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM hist GROUP BY 1)
+         |SELECT c.source, CAST(((c.cum - c.cnt) * 10) // t.total AS BIGINT) AS decile,
+         |  CAST(sum(c.cnt) AS BIGINT) AS n_docs, min(c.qb) AS min_qb, max(c.qb) AS max_qb
+         |FROM c JOIN t ON t.source = c.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }
+  )
+}

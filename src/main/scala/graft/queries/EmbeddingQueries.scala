@@ -365,7 +365,94 @@ object EmbeddingQueries {
         .filter(col("rank") <= k)
   }
 
-  private lazy val queries2: Map[String, Fn] = Map(
+  /** e6-scaled DCG rank discounts 1/log2(rank+1), ranks 1..10 — fixed
+    * literals so NDCG needs no transcendental at query time (a log2's
+    * last ulp differs across libm builds; a frozen table cannot).
+    */
+  private val DiscE6 =
+    Seq(1000000L, 630930L, 500000L, 430677L, 386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** Ideal DCG_e6 for 10 results with graded relevance 10,9,…,1. */
+  private val IdcgE6 = DiscE6.zipWithIndex.map { case (d, i) => (10L - i) * d }.sum
+
+  private def discCase(rankCol: String): String =
+    s"CASE $rankCol " + DiscE6.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN ${d}L" }
+      .mkString(" ") + " ELSE 0L END"
+
+  private lazy val queries3: Map[String, Fn] = Map(
+    // ANN ranking-QUALITY metric beyond recall: NDCG@10 of the IVF
+    // (nprobe=2) search against the exact brute-force ranking, per query
+    // vector. Graded relevance = 11 − exact_rank for exact-top-10
+    // neighbors (0 otherwise); discounts are the frozen e6 1/log2(r+1)
+    // table above, so dcg_e6 = Σ rel·disc is exact integer arithmetic
+    // and the DuckDB oracle matches bit-for-bit. IDCG is constant
+    // (every query has ≥10 true neighbors), so ndcg_e6 is one integer
+    // division. Cost profile is identical to e_ivf_recall_at_k: the
+    // exact side is the audit's one full scan over a fixed 10-query
+    // panel; output is 10 rows at any corpus size.
+    "e_ndcg_at_k" -> ((s, dir) => {
+      val exact = bruteforceTopK(s, dir, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("ex_rank"))
+      ivfTopK(s, dir, 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left")
+        .withColumn("rel", coalesce(lit(11L) - col("ex_rank"), lit(0L)))
+        .withColumn("gain", col("rel") * expr(discCase("rank")))
+        .groupBy(col("query_id"))
+        .agg(sum(col("gain")).as("dcg_e6"))
+        .select(
+          col("query_id"),
+          col("dcg_e6"),
+          lit(IdcgE6).as("idcg_e6"),
+          expr(s"(dcg_e6 * 1000000) div ${IdcgE6}L").as("ndcg_e6")
+        )
+        .orderBy("query_id")
+    }),
+
+    // Embedding-distribution drift monitor: per label, the L1 distance
+    // between the centroid of the even-id cohort ("old") and the odd-id
+    // cohort ("new") — the check a production embedding pipeline runs
+    // when a new encoder version or data batch lands. All arithmetic is
+    // fixed-point: coordinates quantize to ×2^20 BIGINT, per-(label,
+    // cohort, dim) integer sums are exact and associative (partial aggs
+    // do the work at 100 TB; the shuffle key domain is labels × 64 dims,
+    // tiny), and the per-dim drift |s_o·n_n − s_n·n_o| div (n_o·n_n)
+    // keeps every numerator non-negative so truncating division is
+    // engine-portable. Output is O(labels).
+    "e_centroid_drift" -> ((s, dir) => {
+      val dims = table(s, dir, "embeddings")
+        .select(
+          col("label"),
+          (col("vec_id") % 2 === 0).cast("int").as("old_half"),
+          expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+            .as("qvi")
+        )
+        .select(col("label"), col("old_half"), posexplode(col("qvi")).as(Seq("pos", "qv")))
+      val cent = dims
+        .groupBy(col("label"), col("old_half"), col("pos"))
+        .agg(sum(col("qv")).as("sq"), count(lit(1)).as("n"))
+      val old = cent
+        .filter(col("old_half") === 1)
+        .select(col("label"), col("pos"), col("sq").as("so"), col("n").as("no"))
+      val neu = cent
+        .filter(col("old_half") === 0)
+        .select(col("label"), col("pos"), col("sq").as("sn"), col("n").as("nn"))
+      old
+        .join(neu, Seq("label", "pos"))
+        .withColumn("d_q", expr("abs(so * nn - sn * no) div (no * nn)"))
+        .groupBy(col("label"))
+        .agg(
+          min(col("no")).as("n_old"),
+          min(col("nn")).as("n_new"),
+          sum(col("d_q")).as("l1_drift_q"),
+          max(col("d_q")).as("max_dim_drift_q")
+        )
+        .orderBy("label")
+    })
+  )
+
+  private lazy val queries2: Map[String, Fn] = queries3 ++ Map(
     // IVF with k-means-LEARNED centroids (VERDICT r3 stretch): 2 Lloyd
     // iterations from the deterministic √n-modulus seed set — fit on a
     // deterministic sample (≥64 points/centroid, see below), full corpus
@@ -1061,6 +1148,53 @@ object EmbeddingQueries {
          |       round(${cosSql("a.v", "b.v", "a.nrm", "b.nrm")}, 6) AS cosine
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.95
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // NDCG@10 of IVF vs exact — both rankings mirrored from the shared
+    // CTEs; the discount table and all gains are e6 integers.
+    "e_ndcg_at_k" -> {
+      val duckDisc = "CASE a.rank " + DiscE6.zipWithIndex
+        .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+        .mkString(" ") + " ELSE 0 END"
+      s"""$vecsCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |rex AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM p),
+         |$ivfScSql,
+         |riv AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |      FROM sc),
+         |j AS (SELECT a.query_id, a.rank, coalesce(11 - e.rank, 0) AS rel
+         |      FROM (SELECT * FROM riv WHERE rank <= 10) a
+         |      LEFT JOIN (SELECT * FROM rex WHERE rank <= 10) e
+         |        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id),
+         |g AS (SELECT query_id,
+         |        CAST(sum(rel * ($duckDisc)) AS BIGINT) AS dcg_e6
+         |      FROM j a GROUP BY query_id)
+         |SELECT query_id, dcg_e6, CAST($IdcgE6 AS BIGINT) AS idcg_e6,
+         |       (dcg_e6 * 1000000) // $IdcgE6 AS ndcg_e6
+         |FROM g ORDER BY query_id""".stripMargin
+    },
+    // Centroid drift: identical quantization and integer-mean-free
+    // cross-product formulation, dims via range(1, 65).
+    "e_centroid_drift" ->
+      s"""WITH q0 AS (SELECT vec_id, label,
+         |    [CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) for x in embedding] AS qvi
+         |  FROM embeddings),
+         |dims AS (SELECT label, CAST(vec_id % 2 = 0 AS INT) AS old_half,
+         |           r.range - 1 AS pos, qvi[r.range] AS qv
+         |         FROM q0 CROSS JOIN range(1, 65) r),
+         |c AS (SELECT label, old_half, pos, CAST(sum(qv) AS BIGINT) AS sq, count(*) AS n
+         |      FROM dims GROUP BY 1, 2, 3),
+         |j AS (SELECT a.label, a.pos,
+         |        abs(a.sq * b.n - b.sq * a.n) // (a.n * b.n) AS d_q,
+         |        a.n AS n_old, b.n AS n_new
+         |      FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+         |        AND a.old_half = 1 AND b.old_half = 0)
+         |SELECT label, min(n_old) AS n_old, min(n_new) AS n_new,
+         |  CAST(sum(d_q) AS BIGINT) AS l1_drift_q, max(d_q) AS max_dim_drift_q
+         |FROM j GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -500,6 +500,51 @@ object OperatorQueries {
           min(col("key")).as("min_key"),
           max(col("key")).as("max_key"))
         .orderBy("action")
+    }),
+
+    // Skew diagnostics: the pre-flight report that decides whether a join
+    // or aggregation on this key needs salting (and with how many salts)
+    // — the measurement side of `Salting.saltedJoin`. Group sizes for
+    // l_suppkey come from one partial-agg shuffle; the size HISTOGRAM
+    // (size → #keys) is a second tiny agg, so the low-median group size
+    // is found on a frame bounded by the distinct-size count — no sort
+    // or window over the keys themselves. The heaviest key is an argmax
+    // via max(struct(cnt, -key)) (deterministic: smallest key wins
+    // ties); salt_factor = ⌈max/avg⌉ in exact integer arithmetic. One
+    // output row at any scale.
+    "o_skew_diagnostics" -> ((s, dir) => {
+      val g = table(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = g.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        min(col("cnt")).as("min_cnt"),
+        max(col("cnt")).as("max_cnt"),
+        max(struct(col("cnt").as("c"), (-col("l_suppkey")).as("nk"))).as("m")
+      )
+      val sizes = g.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val med = sizes
+        .withColumn("cum", sum(col("nk")).over(wCum))
+        .crossJoin(broadcast(g.agg(count(lit(1)).as("nkeys"))))
+        .filter(col("cum") >= expr("(nkeys + 1) div 2"))
+        .agg(min(col("cnt")).as("p50_low"))
+      tot
+        .crossJoin(med)
+        .select(
+          col("n_keys"),
+          col("total_rows"),
+          col("min_cnt"),
+          col("max_cnt"),
+          col("p50_low"),
+          (-col("m.nk")).as("top_key"),
+          expr("(max_cnt * n_keys * 1000000) div total_rows").as("skew_e6"),
+          expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor")
+        )
     })
   )
 
@@ -656,6 +701,17 @@ object OperatorQueries {
          |SELECT action, count(*) AS n,
          |  CAST(coalesce(sum(new_bal), 0) AS BIGINT) AS bal_cents_sum,
          |  min(key) AS min_key, max(key) AS max_key
-         |FROM b2 GROUP BY action ORDER BY action""".stripMargin
+         |FROM b2 GROUP BY action ORDER BY action""".stripMargin,
+    "o_skew_diagnostics" ->
+      """WITH g AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |        min(cnt) AS min_cnt, max(cnt) AS max_cnt FROM g),
+        |tk AS (SELECT l_suppkey AS top_key FROM g ORDER BY cnt DESC, l_suppkey LIMIT 1),
+        |o AS (SELECT cnt, row_number() OVER (ORDER BY cnt, l_suppkey) AS rn FROM g),
+        |m AS (SELECT o.cnt AS p50_low FROM o, t WHERE o.rn = (t.n_keys + 1) // 2)
+        |SELECT t.n_keys, t.total_rows, t.min_cnt, t.max_cnt, m.p50_low, tk.top_key,
+        |  (t.max_cnt * t.n_keys * 1000000) // t.total_rows AS skew_e6,
+        |  (t.max_cnt * t.n_keys + t.total_rows - 1) // t.total_rows AS salt_factor
+        |FROM t, m, tk""".stripMargin
   )
 }

@@ -31,13 +31,13 @@ object TextQueries {
     * type-token diversity + stopword-presence bonus, all integer-count
     * ratios → bit-portable across engines.
     */
-  private val qualitySpark =
+  private[queries] val qualitySpark =
     s"""round(CASE WHEN size(ws) >= 20 THEN 0.4D ELSE size(ws) * 0.02D END
        | + size(array_distinct(ws)) * 0.3D / size(ws)
        | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3D ELSE 0.0D END, 6)""".stripMargin
 
   /** DuckDB mirror of [[qualitySpark]]. */
-  private val qualityDuck =
+  private[queries] val qualityDuck =
     s"""round(CASE WHEN len(ws) >= 20 THEN CAST(0.4 AS DOUBLE) ELSE len(ws) * CAST(0.02 AS DOUBLE) END
        |    + len(list_distinct(ws)) * CAST(0.3 AS DOUBLE) / len(ws)
        |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6)""".stripMargin

