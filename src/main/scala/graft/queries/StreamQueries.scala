@@ -18,7 +18,7 @@ import graft.streaming.EventPipeline
 object StreamQueries {
   import Q._
 
-  val queries: Map[String, Fn] = Map(
+  val queries: Map[String, Fn] = Map[String, Fn](
     // Tumbling 10-min windows × event_type: count + exact value cents.
     "s_window_counts" -> ((s, dir) =>
       EventPipeline
@@ -288,6 +288,41 @@ object StreamQueries {
           max(col("k")).as("max_k")
         )
         .orderBy("event_type"))
+  ) ++ Map[String, Fn](
+    // Watermark-lateness audit: the monitoring query run beside any
+    // watermarked streaming job — how many events would a 10-minute
+    // watermark drop, per event_type, and by how much do the worst
+    // stragglers miss it? Arrival order is DEFINED as event_id
+    // (deterministic replay — the same convention StreamingSpec's
+    // replayAsStream uses), so "watermark at arrival of e" = max event
+    // time seen strictly before e in the user's stream minus 10 min;
+    // e is late-dropped iff ts(e) < that. The running max is a per-user
+    // window (the natural partitioning of the streaming source — state
+    // scales with users, never globally), lateness is integer micros, so
+    // the oracle matches exactly. Output is O(event types).
+    "s_lateness_audit" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      events(s, dir)
+        .withColumn("seen_max_us", max(unix_micros(col("ts"))).over(w))
+        .withColumn(
+          "late_us",
+          greatest(
+            coalesce(col("seen_max_us") - lit(600000000L) - unix_micros(col("ts")), lit(0L)),
+            lit(0L)
+          )
+        )
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(expr("late_us div 1000000")).as("max_late_sec")
+        )
+        .withColumn("late_frac_e6", expr("(n_late * 1000000) div n_events"))
+        .orderBy("event_type")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -421,6 +456,23 @@ object StreamQueries {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_lateness_audit" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |m AS (SELECT event_type, ts_us,
+        |        max(ts_us) OVER (PARTITION BY user_id ORDER BY event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seen_max_us
+        |      FROM e),
+        |l AS (SELECT event_type,
+        |        greatest(coalesce(seen_max_us - 600000000 - ts_us, 0), 0) AS late_us
+        |      FROM m),
+        |g AS (SELECT event_type, count(*) AS n_events,
+        |        CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |        CAST(max(late_us // 1000000) AS BIGINT) AS max_late_sec
+        |      FROM l GROUP BY 1)
+        |SELECT event_type, n_events, n_late, max_late_sec,
+        |  (n_late * 1000000) // n_events AS late_frac_e6
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

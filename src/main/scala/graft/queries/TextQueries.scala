@@ -42,6 +42,62 @@ object TextQueries {
        |    + len(list_distinct(ws)) * CAST(0.3 AS DOUBLE) / len(ws)
        |    + CASE WHEN len(list_filter(ws, t -> list_contains($stopList, t))) * 10 >= len(ws) THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 6)""".stripMargin
 
+  /** The decontamination corpus: (train, test) frames with PLANTED
+    * train→test overlap (see `t_ngram_decontaminate`'s scaladoc): test =
+    * doc_id % 50 == 0; train docs with doc_id % 9 == 0 get the first 12
+    * words of test doc (doc_id%10)*50 appended via an inner join (a
+    * mapping target absent at small scale factors plants nothing,
+    * identically in both engines). Shared by the broadcast-join and
+    * bloom-pruned decontamination variants, which must agree exactly.
+    */
+  private def contaminatedTrainTest(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String
+  ): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.SketchExpressions.register(s)
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val test0 = docs.filter(col("doc_id") % 50 === 0)
+    val plant = docs
+      .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 9 === 0)
+      .join(
+        broadcast(test0.select(col("doc_id").as("t_id"), col("text").as("t_text"))),
+        col("t_id") === col("doc_id") % 10 * 50
+      )
+      .select(
+        col("doc_id"),
+        concat(col("text"), lit(" "), expr("array_join(slice(split(t_text, ' '), 1, 12), ' ')"))
+          .as("ptext")
+      )
+    val train = docs
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(plant, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ptext"), col("text")).as("text"))
+      // re-spread: the source scans as 1-3 splits and the n-gram
+      // hashing (the dominant per-row cost) would otherwise run on
+      // 1-3 cores; Catalyst hoists the downstream feature projection
+      // above this exchange, i.e. onto the post-shuffle side — here
+      // that is exactly right (one consumer, no reuse concern)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+    (train, test0)
+  }
+
+  /** Distinct 8-gram hashes per doc: each word char-hashed once, n-gram
+    * hash folded from the word hashes — no per-n-gram string allocation.
+    * The word-hash array is LET-BOUND as a lambda variable (array(...) +
+    * flatten): projection collapse would otherwise inline its transform
+    * into every reference, re-hashing each word once per n-gram (~50×
+    * per-row blowup, r4 profiling).
+    */
+  private def ngramHashes(df: org.apache.spark.sql.DataFrame, idCol: String) =
+    df.withColumn("ws", split(col("text"), " "))
+      .withColumn(
+        "g",
+        expr(
+          s"array_distinct(flatten(transform(array(transform(ws, w -> char_rolling_hash(w))), wh -> ${hashedNgramsSpark("wh", 8)})))"
+        )
+      )
+      .select(col("doc_id").as(idCol), explode(col("g")).as("h"))
+
   val queries: Map[String, Fn] = Map(
     // Token counting: whitespace tokens + BPE-ish regex tokens.
     "t_token_counts" -> ((s, dir) =>
@@ -146,47 +202,42 @@ object TextQueries {
     // shared hashes (not strings) keeps collision semantics identical to
     // the mirrored oracle.
     "t_ngram_decontaminate" -> ((s, dir) => {
-      graft.functions.SketchExpressions.register(s)
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val test0 = docs.filter(col("doc_id") % 50 === 0)
-      val plant = docs
-        .filter(col("doc_id") % 50 =!= 0 && col("doc_id") % 9 === 0)
-        .join(
-          broadcast(test0.select(col("doc_id").as("t_id"), col("text").as("t_text"))),
-          col("t_id") === col("doc_id") % 10 * 50
-        )
-        .select(
-          col("doc_id"),
-          concat(col("text"), lit(" "), expr("array_join(slice(split(t_text, ' '), 1, 12), ' ')"))
-            .as("ptext")
-        )
-      val train = docs
-        .filter(col("doc_id") % 50 =!= 0)
-        .join(plant, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("ptext"), col("text")).as("text"))
-        // re-spread: the source scans as 1-3 splits and the n-gram
-        // hashing (the dominant per-row cost) would otherwise run on
-        // 1-3 cores; Catalyst hoists the downstream feature projection
-        // above this exchange, i.e. onto the post-shuffle side — here
-        // that is exactly right (one consumer, no reuse concern)
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
-      // numeric n-gram hashing: each word char-hashed once, 8-gram hash
-      // folded from the word hashes — no per-n-gram string allocation.
-      // The word-hash array is LET-BOUND as a lambda variable: projection
-      // collapse would otherwise inline its transform into every
-      // reference inside the window lambda, re-hashing each word once
-      // per window (~50× per-row blowup, r4 profiling).
-      def ngramHashes(df: org.apache.spark.sql.DataFrame, idCol: String) =
-        df.withColumn("ws", split(col("text"), " "))
-          .withColumn(
-            "g",
-            expr(
-              s"array_distinct(flatten(transform(array(transform(ws, w -> char_rolling_hash(w))), wh -> ${hashedNgramsSpark("wh", 8)})))"
-            )
-          )
-          .select(col("doc_id").as(idCol), explode(col("g")).as("h"))
+      val (train, test0) = contaminatedTrainTest(s, dir)
       ngramHashes(train, "train_doc_id")
         .join(broadcast(ngramHashes(test0, "test_doc_id")), "h")
+        .groupBy(col("train_doc_id"), col("test_doc_id"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy(col("train_doc_id"), col("test_doc_id"))
+    }),
+
+    // Decontamination, BLOOM-PRUNED variant — same semantics and output
+    // as t_ngram_decontaminate (same oracle), different scale mechanism:
+    // when the held-out set is too large to broadcast its full n-gram
+    // hash set (a many-benchmark eval corpus), a fixed-size bloom built
+    // over the test hashes (scalar subquery, shipped once to every task)
+    // drops non-matching train n-grams BEFORE the shuffle join; the join
+    // that follows eliminates the bloom's false positives, so the result
+    // is exactly the broadcast plan's (no false negatives by contract —
+    // the same soundness argument as o_bloom_pruned_join). The verify
+    // join is deliberately NOT broadcast-hinted: AQE sizes it, and at
+    // contaminated-fraction selectivity the shuffle carries only the
+    // pruned sliver.
+    "t_bloom_decontaminate" -> ((s, dir) => {
+      graft.functions.BloomFunctions.register(s)
+      val (train, test0) = contaminatedTrainTest(s, dir)
+      val testNg = ngramHashes(test0, "test_doc_id")
+      val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val trainView = s"graft_decon_train_$runTag"
+      val testView = s"graft_decon_test_$runTag"
+      ngramHashes(train, "train_doc_id").createOrReplaceTempView(trainView)
+      testNg.createOrReplaceTempView(testView)
+      s.sql(
+        s"""SELECT train_doc_id, h FROM $trainView
+           |WHERE graft_might_contain(
+           |  (SELECT graft_bloom_agg(xxhash64(h), CAST(4000000 AS BIGINT)) FROM $testView),
+           |  xxhash64(h))""".stripMargin
+      )
+        .join(testNg, "h")
         .groupBy(col("train_doc_id"), col("test_doc_id"))
         .agg(count(lit(1)).as("n_shared_ngrams"))
         .orderBy(col("train_doc_id"), col("test_doc_id"))
@@ -744,6 +795,32 @@ object TextQueries {
     })
   )
 
+  /** Exact train→test 8-gram overlap over the planted corpus — the one
+    * oracle both decontamination variants (broadcast-join and
+    * bloom-pruned) must match.
+    */
+  private lazy val deconOracleSql: String = {
+    val ngramHash = s"list_distinct(${hashedNgramsDuck("wh", 8)})"
+    s"""WITH test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+       |plant AS (
+       |  SELECT d.doc_id,
+       |         concat(d.text, ' ', array_to_string(string_split(t.text, ' ')[1:12], ' ')) AS ptext
+       |  FROM documents d
+       |  JOIN test0 t ON t.doc_id = (d.doc_id % 10) * 50
+       |  WHERE d.doc_id % 50 != 0 AND d.doc_id % 9 = 0),
+       |train AS (
+       |  SELECT d.doc_id, coalesce(p.ptext, d.text) AS text
+       |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0) d
+       |  LEFT JOIN plant p USING (doc_id)),
+       |tr_ng AS (SELECT doc_id AS train_doc_id, unnest($ngramHash) AS h
+       |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM train)),
+       |te_ng AS (SELECT doc_id AS test_doc_id, unnest($ngramHash) AS h
+       |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM test0))
+       |SELECT train_doc_id, test_doc_id, count(*) AS n_shared_ngrams
+       |FROM tr_ng JOIN te_ng USING (h)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t_source_cap" ->
       """WITH r AS (
@@ -898,27 +975,11 @@ object TextQueries {
         |      FROM sc)
         |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "t_ngram_decontaminate" -> {
-      val ngramHash = s"list_distinct(${hashedNgramsDuck("wh", 8)})"
-      s"""WITH test0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
-         |plant AS (
-         |  SELECT d.doc_id,
-         |         concat(d.text, ' ', array_to_string(string_split(t.text, ' ')[1:12], ' ')) AS ptext
-         |  FROM documents d
-         |  JOIN test0 t ON t.doc_id = (d.doc_id % 10) * 50
-         |  WHERE d.doc_id % 50 != 0 AND d.doc_id % 9 = 0),
-         |train AS (
-         |  SELECT d.doc_id, coalesce(p.ptext, d.text) AS text
-         |  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 != 0) d
-         |  LEFT JOIN plant p USING (doc_id)),
-         |tr_ng AS (SELECT doc_id AS train_doc_id, unnest($ngramHash) AS h
-         |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM train)),
-         |te_ng AS (SELECT doc_id AS test_doc_id, unnest($ngramHash) AS h
-         |          FROM (SELECT doc_id, [${charHashDuck("w")} for w in string_split(text, ' ')] AS wh FROM test0))
-         |SELECT train_doc_id, test_doc_id, count(*) AS n_shared_ngrams
-         |FROM tr_ng JOIN te_ng USING (h)
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+    "t_ngram_decontaminate" -> deconOracleSql,
+    // The bloom prune is candidates-only (no false negatives; join kills
+    // false positives), so the oracle is the exact overlap — identical
+    // to the broadcast variant's.
+    "t_bloom_decontaminate" -> deconOracleSql,
     "t_repetition_profile" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),

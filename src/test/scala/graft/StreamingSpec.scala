@@ -388,4 +388,30 @@ class StreamingSpec extends SparkSpecBase {
       )
     } finally q.stop()
   }
+  test("lateness audit: per-type counts match a driver-side replay of the watermark rule") {
+    val rows = graft.queries.StreamQueries.queries("s_lateness_audit")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // replay: arrival order = event_id per user; watermark = running max - 10 min
+    val ev = graft.queries.Q.events(spark, Sf0001)
+      .select("event_id", "user_id", "event_type", "ts").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts").getTime * 1000L))
+    val byUser = ev.groupBy(_._2)
+    val late = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val total = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    byUser.values.foreach { es =>
+      var seenMax = Long.MinValue
+      es.sortBy(_._1).foreach { case (_, _, typ, tsUs) =>
+        total(typ) += 1
+        if (seenMax != Long.MinValue && tsUs < seenMax - 600000000L) late(typ) += 1
+        seenMax = math.max(seenMax, tsUs)
+      }
+    }
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("n_events") == total(t))
+      assert(r.getAs[Long]("n_late") == late(t))
+      assert(r.getAs[Long]("late_frac_e6") == late(t) * 1000000L / total(t))
+    }
+  }
 }

@@ -192,4 +192,13 @@ class TextQueriesSpec extends SparkSpecBase {
       if (n1 < n2) assert(f2 <= f1 + 1e-12)
     }
   }
+  test("bloom decontamination equals the broadcast-join decontamination exactly") {
+    // the bloom prune is candidates-only: the verify join must erase every
+    // false positive, leaving the broadcast plan's exact result
+    val a = TextQueries.queries("t_ngram_decontaminate")(spark, Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val b = TextQueries.queries("t_bloom_decontaminate")(spark, Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a.nonEmpty && a == b)
+  }
 }
