@@ -119,6 +119,13 @@ object CurationQueries {
           )
         )
         .select(col("doc_id"), col("source"), explode(col("g")).as("h"))
+        // TWO consumers (span-df agg + per-doc join) and the span hashing
+        // is the dominant per-row cost — materialize once, partitioned on
+        // the key both consumers shuffle on (the hashedSets pattern; a
+        // bare repartition can't help: Catalyst hoists the deterministic
+        // hash projection above the exchange and re-runs it per consumer)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("h"))
+        .localCheckpoint()
       // spans are distinct within a doc, so count(*) = distinct docs
       val dupSpans = spans
         .groupBy(col("h"))
@@ -214,7 +221,16 @@ object CurationQueries {
           size(col("ws")).cast("long").as("toks"),
           expr("CAST(floor(q * 1000) AS BIGINT)").as("qb")
         )
-      val hist = d.groupBy(col("qb")).agg(count(lit(1)).as("nd"), sum(col("toks")).as("bt"))
+      // the histogram is ≤1001 rows but its LINEAGE is a full corpus
+      // quality pass — with three downstream consumers (full-bucket
+      // stats, boundary row, boundary min) Catalyst re-ran that pass per
+      // consumer (sf10 probe: 49.8 s ≈ 4 corpus passes). Materializing
+      // the tiny frame caps the query at its two inherent corpus passes
+      // (histogram + boundary selection).
+      val hist = d
+        .groupBy(col("qb"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("bt"))
+        .localCheckpoint()
       val wCum = Window.orderBy(col("qb").desc).rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("bt")).over(wCum))
       val fullStats = cum
@@ -261,7 +277,13 @@ object CurationQueries {
         .withColumn("ws", split(col("text"), " "))
         .withColumn("q", expr(TextQueries.qualitySpark))
         .select(col("source"), expr("CAST(floor(q * 1000) AS BIGINT)").as("qb"))
-      val hist = d.groupBy(col("source"), col("qb")).agg(count(lit(1)).as("cnt"))
+      // two consumers (cumulative pass + per-source totals) over a tiny
+      // frame with a full-corpus lineage — materialize once (same
+      // reasoning as t_token_budget_select's histogram)
+      val hist = d
+        .groupBy(col("source"), col("qb"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val wCum = Window
         .partitionBy(col("source"))
         .orderBy(col("qb"))

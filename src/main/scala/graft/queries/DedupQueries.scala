@@ -363,6 +363,49 @@ object DedupQueries {
       verifyJaccard(ngramCandidates(sets), sets)
     }),
 
+    // ASYMMETRIC containment near-dup (news-wire reprints, quoted
+    // passages, prefix copies): C(A⊂B) = |S_A ∩ S_B| / |S_A| flags "A is
+    // mostly inside B" pairs whose symmetric Jaccard is far below any
+    // sane threshold. Plant: every 11th doc gains a 20-word-prefix copy
+    // (+3000000, the t_span_dedup plant) — Jaccard vs the original is
+    // ~18/n (sub-threshold, invisible to d_ngram_jaccard_pairs), but
+    // containment(copy ⊂ original) = 1.0. Candidates ride the SAME
+    // df-capped inverted index as the Jaccard path (rare-shingle
+    // semi-join, never all-pairs); verification joins the full sets and
+    // keeps pairs with max-direction containment ≥ 0.9, in e6 integer
+    // arithmetic (i·1e6 div |S|) so the oracle is bit-exact. Output
+    // orients each pair contained→container (tie → doc_a, i.e. exact
+    // dups keep the smaller id as contained).
+    "d_containment_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs
+        .filter(col("doc_id") % 11 === 0)
+        .select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, 20), ' ')").as("text")
+        )
+      val sets = hashedSetsOf(s, docs.unionAll(planted))
+      val a = sets.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+      ngramCandidates(sets)
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+        .withColumn("na", size(col("hs_a")).cast("long"))
+        .withColumn("nb", size(col("hs_b")).cast("long"))
+        .withColumn("c_ab_e6", expr("(i * 1000000) div na"))
+        .withColumn("c_ba_e6", expr("(i * 1000000) div nb"))
+        .filter(col("c_ab_e6") >= 900000 || col("c_ba_e6") >= 900000)
+        .select(
+          expr("CASE WHEN c_ab_e6 >= c_ba_e6 THEN doc_a ELSE doc_b END").as("contained_id"),
+          expr("CASE WHEN c_ab_e6 >= c_ba_e6 THEN doc_b ELSE doc_a END").as("container_id"),
+          col("i").as("n_shared"),
+          greatest(col("c_ab_e6"), col("c_ba_e6")).as("containment_e6"),
+          expr("(i * 1000000) div (na + nb - i)").as("jaccard_e6")
+        )
+        .orderBy(col("contained_id"), col("container_id"))
+    }),
+
     // MinHash + LSH banding near-dup: signatures → band join → verify.
     "d_minhash_lsh_pairs" -> ((s, dir) => lshVerifiedPairs(s, dir)),
 
@@ -679,6 +722,41 @@ object DedupQueries {
          |JOIN sz sb ON doc_b = sb.doc_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Containment over the prefix-copy corpus: same df-capped candidate
+    // construction, both per-direction containments in e6 integers.
+    "d_containment_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id,
+         |         array_to_string(string_split(text, ' ')[1:20], ' ') AS text
+         |  FROM documents WHERE doc_id % 11 = 0
+         |)
+         |$shingleCte
+         |, df AS (SELECT s, count(*) AS c FROM ex GROUP BY s)
+         |, exk AS (SELECT ex.doc_id, ex.s FROM ex JOIN df ON ex.s = df.s WHERE df.c <= $MaxDF)
+         |, cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |           FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |, inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+         |  GROUP BY 1, 2)
+         |, sc AS (
+         |  SELECT doc_a, doc_b, CAST(i AS BIGINT) AS i, sa.n AS na, sb.n AS nb,
+         |         (CAST(i AS BIGINT) * 1000000) // sa.n AS c_ab_e6,
+         |         (CAST(i AS BIGINT) * 1000000) // sb.n AS c_ba_e6
+         |  FROM inter
+         |  JOIN sz sa ON doc_a = sa.doc_id
+         |  JOIN sz sb ON doc_b = sb.doc_id)
+         |SELECT CASE WHEN c_ab_e6 >= c_ba_e6 THEN doc_a ELSE doc_b END AS contained_id,
+         |       CASE WHEN c_ab_e6 >= c_ba_e6 THEN doc_b ELSE doc_a END AS container_id,
+         |       i AS n_shared,
+         |       greatest(c_ab_e6, c_ba_e6) AS containment_e6,
+         |       (i * 1000000) // (na + nb - i) AS jaccard_e6
+         |FROM sc
+         |WHERE c_ab_e6 >= 900000 OR c_ba_e6 >= 900000
+         |ORDER BY 1, 2""".stripMargin,
     // The LSH path must reproduce the exact pair set (verification step
     // + negligible banding miss probability at the threshold).
     "d_minhash_lsh_pairs" -> exactPairsSql,

@@ -225,6 +225,11 @@ object TextQueries {
     "t_bloom_decontaminate" -> ((s, dir) => {
       graft.functions.BloomFunctions.register(s)
       val (train, test0) = contaminatedTrainTest(s, dir)
+      // testNg has two consumers (bloom build + verify join) but the
+      // held-out set is small by construction — re-hashing it is cheaper
+      // than a materialization barrier (measured: a checkpoint added
+      // ~0.5 s at sf0.1 for nothing; the expensive TRAIN side is hashed
+      // once either way)
       val testNg = ngramHashes(test0, "test_doc_id")
       val runTag = java.util.UUID.randomUUID().toString.replace("-", "")
       val trainView = s"graft_decon_train_$runTag"

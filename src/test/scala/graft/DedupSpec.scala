@@ -145,4 +145,27 @@ class DedupSpec extends SparkSpecBase {
     assert(byVerdict.getOrElse("dup_in_batch", 0L) <= nPlantIntra + 5)
     assert(byVerdict.getOrElse("new", 0L) > 0)
   }
+  test("containment: every planted prefix-copy is contained at 1e6; Jaccard alone would miss some") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.DedupQueries.queries("d_containment_pairs")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val plantedIds = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+      .collect().map(_.getLong(0) + 3000000L).toSet
+    // every planted 20-word-prefix copy appears in a fully-contained pair
+    // (as contained_id normally; as container_id when the original is
+    // <= 20 words — then the pair is an exact dup and the tie-break
+    // orients the smaller id, the original, as contained)
+    val fullPairIds = rows
+      .filter(_.getAs[Long]("containment_e6") == 1000000L)
+      .flatMap(r => Seq(r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"))).toSet
+    assert(plantedIds.subsetOf(fullPairIds))
+    // the asymmetric metric finds pairs the 0.7-Jaccard gate cannot
+    assert(rows.exists(r => r.getAs[Long]("jaccard_e6") < 700000L))
+    // orientation: contained side's set is never larger than the container's
+    rows.foreach { r =>
+      assert(r.getAs[Long]("containment_e6") >= 900000L)
+      assert(r.getAs[Long]("containment_e6") <= 1000000L)
+    }
+  }
 }
