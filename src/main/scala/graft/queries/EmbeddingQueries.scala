@@ -452,7 +452,7 @@ object EmbeddingQueries {
     })
   )
 
-  private lazy val queries2: Map[String, Fn] = queries3 ++ Map(
+  private lazy val queries2: Map[String, Fn] = queries3 ++ Map[String, Fn](
     // IVF with k-means-LEARNED centroids (VERDICT r3 stretch): 2 Lloyd
     // iterations from the deterministic √n-modulus seed set — fit on a
     // deterministic sample (≥64 points/centroid, see below), full corpus
@@ -680,7 +680,44 @@ object EmbeddingQueries {
     // fused vec_dot; ADC sum: m-sorted list fold) so DuckDB reproduces
     // every score bit-identically — an unordered SUM over the M partial
     // scores would be partitioning-dependent in the last ulp.
-    "e_pq_topk" -> ((s, dir) => {
+    "e_pq_topk" -> ((s, dir) =>
+      pqRanked(s, dir)
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("qscore"), 6).as("qscore"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))),
+
+    // ANN audit #3 — recall@10 of the PQ/ADC search vs the exact float
+    // top-10, per query: the codebook-quality number a PQ index build
+    // publishes (recall/NDCG audit the IVF routing above; this audits
+    // the QUANTIZER — the two degrade independently). Same cost shape
+    // as the other audits: exact side is the one full scan over the
+    // fixed query panel; 10 output rows at any corpus size.
+    "e_pq_recall_at_k" -> ((s, dir) => {
+      val exact = bruteforceTopK(s, dir, 10).select(col("query_id"), col("neighbor_id"))
+      val approx = pqRanked(s, dir)
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      exact
+        .join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("hits"))
+        .select(col("query_id"), col("hits"), round(col("hits") / 10.0, 6).as("recall"))
+        .orderBy(col("query_id"))
+    })
+  ) ++ pqHost
+
+  /** PQ/ADC ranked candidates for the 10 standard query vectors:
+    * M=8 × K=16 codebook from evenly-spaced sample vectors, argmin-L2
+    * encoding (as argmax 2·x·c − c·c), ADC lookup-table scoring folded
+    * in subspace order (deterministic double sum). Returns (query_id,
+    * neighbor_id, qscore, rank) — shared by `e_pq_topk` and the PQ
+    * recall audit.
+    */
+  private def pqRanked(
+      s: SparkSession,
+      dir: String
+  ): DataFrame = {
       val all = vecs(s, dir)
       val M = 8
       val K = 16
@@ -725,12 +762,9 @@ object EmbeddingQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qscore"))
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("qscore"), 6).as("qscore"), col("rank").cast("int").as("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }),
+  }
 
+  private lazy val pqHost: Map[String, Fn] = Map(
     // Int8-quantized brute-force top-10: normalize, scale to [-127, 127],
     // round to integers, rank by the INTEGER dot product. At 100 TB this
     // is the memory-bandwidth play — 8-bit vectors are 4× smaller than
@@ -912,6 +946,46 @@ object EmbeddingQueries {
        |       FROM cand JOIN n q ON q.vec_id = cand.query_id
        |                 JOIN n c ON c.vec_id = cand.neighbor_id)""".stripMargin
 
+  /** The PQ pipeline as a CTE chain ending in ranked candidates `r`
+    * (query_id, neighbor_id, qscore, rank) — codebook slicing, argmin-L2
+    * encoding (as the equivalent argmax 2·x·c − c·c with the identical
+    * tie-break), and the m-ordered ADC score fold: every score is the
+    * same IEEE double on both engines, so rankings cannot diverge.
+    * Shared by the `e_pq_topk` oracle and the PQ recall audit.
+    */
+  private lazy val pqCtes: String = {
+    val cbModSql = "(SELECT greatest(1, count(*) // 16) FROM embeddings)"
+    s"""$vecsCte,
+       |cb0 AS (SELECT CAST(floor(vec_id / $cbModSql) AS BIGINT) AS j,
+       |          r.range AS m, v[r.range * 8 + 1 : r.range * 8 + 8] AS cv
+       |        FROM n CROSS JOIN range(0, 8) r
+       |        WHERE vec_id % $cbModSql = 0 AND vec_id < 16 * $cbModSql),
+       |cb AS (SELECT j, m, cv, ${dotDuck("cv", "cv")} AS cc FROM cb0),
+       |sub AS (SELECT vec_id, r.range AS m,
+       |          v[r.range * 8 + 1 : r.range * 8 + 8] AS xm
+       |        FROM n CROSS JOIN range(0, 8) r),
+       |enc AS (SELECT s.vec_id, s.m, c.j,
+       |          2 * ${dotDuck("s.xm", "c.cv")} - c.cc AS sc
+       |        FROM sub s JOIN cb c ON c.m = s.m),
+       |codes AS (SELECT vec_id, m, j AS code FROM (
+       |  SELECT vec_id, m, j,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, j) AS rn
+       |  FROM enc) WHERE rn = 1),
+       |lut AS (SELECT s.vec_id AS query_id, s.m, c.j AS code,
+       |          ${dotDuck("s.xm", "c.cv")} AS lut
+       |        FROM sub s JOIN cb c ON c.m = s.m WHERE s.vec_id < 10),
+       |adc AS (SELECT l.query_id, c.vec_id, l.m, l.lut
+       |        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code),
+       |agg AS (SELECT query_id, vec_id,
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lut ORDER BY m)),
+       |                      (x, y) -> x + y) AS qscore
+       |        FROM adc GROUP BY query_id, vec_id),
+       |r AS (SELECT query_id, vec_id AS neighbor_id, qscore,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY qscore DESC, vec_id) AS rank
+       |      FROM agg WHERE vec_id <> query_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "e_bruteforce_topk" ->
       s"""$vecsCte,
@@ -1082,40 +1156,25 @@ object EmbeddingQueries {
     // encoding (as the equivalent argmax 2·x·c − c·c with the identical
     // tie-break), and the m-ordered ADC score fold — every score is the
     // same IEEE double on both engines, so rankings cannot diverge.
-    "e_pq_topk" -> {
-      val cbModSql = "(SELECT greatest(1, count(*) // 16) FROM embeddings)"
-      s"""$vecsCte,
-         |cb0 AS (SELECT CAST(floor(vec_id / $cbModSql) AS BIGINT) AS j,
-         |          r.range AS m, v[r.range * 8 + 1 : r.range * 8 + 8] AS cv
-         |        FROM n CROSS JOIN range(0, 8) r
-         |        WHERE vec_id % $cbModSql = 0 AND vec_id < 16 * $cbModSql),
-         |cb AS (SELECT j, m, cv, ${dotDuck("cv", "cv")} AS cc FROM cb0),
-         |sub AS (SELECT vec_id, r.range AS m,
-         |          v[r.range * 8 + 1 : r.range * 8 + 8] AS xm
-         |        FROM n CROSS JOIN range(0, 8) r),
-         |enc AS (SELECT s.vec_id, s.m, c.j,
-         |          2 * ${dotDuck("s.xm", "c.cv")} - c.cc AS sc
-         |        FROM sub s JOIN cb c ON c.m = s.m),
-         |codes AS (SELECT vec_id, m, j AS code FROM (
-         |  SELECT vec_id, m, j,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY sc DESC, j) AS rn
-         |  FROM enc) WHERE rn = 1),
-         |lut AS (SELECT s.vec_id AS query_id, s.m, c.j AS code,
-         |          ${dotDuck("s.xm", "c.cv")} AS lut
-         |        FROM sub s JOIN cb c ON c.m = s.m WHERE s.vec_id < 10),
-         |adc AS (SELECT l.query_id, c.vec_id, l.m, l.lut
-         |        FROM codes c JOIN lut l ON l.m = c.m AND l.code = c.code),
-         |agg AS (SELECT query_id, vec_id,
-         |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lut ORDER BY m)),
-         |                      (x, y) -> x + y) AS qscore
-         |        FROM adc GROUP BY query_id, vec_id),
-         |r AS (SELECT query_id, vec_id AS neighbor_id, qscore,
-         |        row_number() OVER (PARTITION BY query_id
-         |          ORDER BY qscore DESC, vec_id) AS rank
-         |      FROM agg WHERE vec_id <> query_id)
+    "e_pq_topk" ->
+      s"""$pqCtes
          |SELECT query_id, neighbor_id, round(qscore, 6) AS qscore, CAST(rank AS INT) AS rank
-         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // PQ recall@10 vs the exact float ranking — both sides mirrored.
+    "e_pq_recall_at_k" ->
+      s"""$pqCtes,
+         |pex AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |        FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |rex AS (SELECT query_id, neighbor_id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |        FROM pex)
+         |SELECT e.query_id, count(i.query_id) AS hits,
+         |       round(count(i.query_id) / 10.0, 6) AS recall
+         |FROM (SELECT query_id, neighbor_id FROM rex WHERE rank <= 10) e
+         |LEFT JOIN (SELECT query_id, neighbor_id FROM r WHERE rank <= 10) i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
     // Mirrors the deterministic √n-seed clustering, the top-2 soft cell
     // assignment, and the within-cell smaller-id neighbor rule exactly —
     // the oracle checks WHAT SemDeDup claims (within-cell dedup), so

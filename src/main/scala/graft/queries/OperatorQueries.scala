@@ -502,6 +502,51 @@ object OperatorQueries {
         .orderBy("action")
     }),
 
+    // Incremental aggregate maintenance (materialized-view merge): a
+    // daily (day × event_type) aggregate is maintained by merging the
+    // standing snapshot (days strictly before the re-statement horizon)
+    // with a freshly-computed DELTA covering the last two days — the
+    // horizon overlaps the snapshot boundary deliberately, modeling
+    // late-data re-statement, so the merge is a real re-aggregation and
+    // not a disjoint union. Correct because every measure is
+    // associative (counts, integer cent sums — the same property that
+    // makes them partial-agg friendly); the oracle is the full
+    // recompute, which the merged table must equal row-for-row. At
+    // 100 TB the two sides are partition-pruned scans (see
+    // o_partition_pruned_agg for the layout): the snapshot is read as
+    // an aggregate table, only the re-stated partitions rescan raw
+    // data.
+    "o_incremental_agg" -> ((s, dir) => {
+      val ev = Q.events(s, dir)
+        .select(
+          to_date(date_trunc("day", col("ts"))).as("day"),
+          col("event_type"),
+          cents(col("value")).as("val_cents")
+        )
+      val horizon = ev.agg(date_sub(max(col("day")), 1).as("h0"))
+      val byDay = (f: org.apache.spark.sql.DataFrame) =>
+        f.groupBy(col("day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("val_cents")).as("sum_cents"))
+      val snapshot = byDay(
+        ev.join(broadcast(horizon), col("day") < col("h0")).drop("h0")
+      )
+      val delta = byDay(
+        ev.join(broadcast(horizon), col("day") >= col("h0")).drop("h0")
+      )
+      snapshot
+        .unionAll(delta)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("n_events")).as("n_events"), sum(col("sum_cents")).as("sum_cents"))
+        .select(
+          // dates cross the oracle boundary as ISO strings (suite
+          // convention — parquet date32 and DuckDB DATE reach pandas as
+          // different dtypes)
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n_events"), col("sum_cents")
+        )
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // Skew diagnostics: the pre-flight report that decides whether a join
     // or aggregation on this key needs salting (and with how many salts)
     // — the measurement side of `Salting.saltedJoin`. Group sizes for
@@ -702,6 +747,13 @@ object OperatorQueries {
          |  CAST(coalesce(sum(new_bal), 0) AS BIGINT) AS bal_cents_sum,
          |  min(key) AS min_key, max(key) AS max_key
          |FROM b2 GROUP BY action ORDER BY action""".stripMargin,
+    // The oracle is the FULL recompute — the merged incremental table
+    // must be indistinguishable from it.
+    "o_incremental_agg" ->
+      s"""SELECT strftime(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE), '%Y-%m-%d') AS day,
+         |  event_type, count(*) AS n_events,
+         |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "o_skew_diagnostics" ->
       """WITH g AS (SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1),
         |t AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total_rows,

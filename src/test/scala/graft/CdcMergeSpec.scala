@@ -53,4 +53,18 @@ class CdcMergeSpec extends SparkSpecBase {
     assert(n("unchanged") + n("deleted") + n("updated") == base.size.toLong)
     assert(out.contains("inserted") && out.contains("noop_delete"))
   }
+  test("incremental agg merge equals the full recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = graft.queries.OperatorQueries.queries("o_incremental_agg")(spark, Sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    val full = graft.queries.Q.events(spark, Sf0001)
+      .groupBy(
+        date_format(to_date(date_trunc("day", col("ts"))), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("day"), col("event_type"), col("n_events"), col("sum_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged.nonEmpty && merged == full)
+  }
 }

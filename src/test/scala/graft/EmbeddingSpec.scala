@@ -279,4 +279,19 @@ class EmbeddingSpec extends SparkSpecBase {
     assert(row.getAs[Long]("min_size") <= avg && avg <= row.getAs[Long]("max_size"))
     assert(row.getAs[Double]("imbalance") >= 1.0)
   }
+  test("pq recall audit: hits recount against the two rankings it compares") {
+    import graft.queries.EmbeddingQueries
+    val rows = EmbeddingQueries.queries("e_pq_recall_at_k")(spark, Sf0001).collect()
+    assert(rows.length == 10)
+    val exact = EmbeddingQueries.queries("e_bruteforce_topk")(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = EmbeddingQueries.queries("e_pq_topk")(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val expectHits = exact.filter(_._1 == q).count(pq.contains)
+      assert(r.getAs[Long]("hits") == expectHits.toLong)
+      assert(r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 10L)
+    }
+  }
 }
