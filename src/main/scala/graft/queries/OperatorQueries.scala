@@ -502,6 +502,35 @@ object OperatorQueries {
         .orderBy("action")
     }),
 
+    // ORC round-trip: the orders slice written once as ORC (fingerprint-
+    // keyed like the partitioned/bucketed caches, rebuilt when the
+    // source regenerates), read back, and aggregated — value-preserving
+    // across the second columnar format Spark ships natively. The
+    // oracle aggregates the original parquet: any encoding loss in the
+    // ORC write/read path would hash-mismatch. (Money stays integer
+    // cents end-to-end, so even double re-encoding cannot drift.)
+    "o_orc_roundtrip" -> ((s, dir) => {
+      val tag = sourceTag(s, s"$dir/orders.parquet")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, s"graft_orc_orders_$tag")
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) {
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+          .write.mode("overwrite").orc(path.toString)
+      }
+      s.read.orc(path.toString)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"),
+          countDistinct(col("o_custkey")).as("n_customers")
+        )
+        .orderBy("o_orderstatus")
+    }),
+
     // Incremental aggregate maintenance (materialized-view merge): a
     // daily (day × event_type) aggregate is maintained by merging the
     // standing snapshot (days strictly before the re-statement horizon)
@@ -747,6 +776,13 @@ object OperatorQueries {
          |  CAST(coalesce(sum(new_bal), 0) AS BIGINT) AS bal_cents_sum,
          |  min(key) AS min_key, max(key) AS max_key
          |FROM b2 GROUP BY action ORDER BY action""".stripMargin,
+    // Parquet is the ground truth the ORC path must reproduce.
+    "o_orc_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  CAST(sum(${centsSql("o_totalprice")}) AS BIGINT) AS total_cents,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  count(DISTINCT o_custkey) AS n_customers
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // The oracle is the FULL recompute — the merged incremental table
     // must be indistinguishable from it.
     "o_incremental_agg" ->

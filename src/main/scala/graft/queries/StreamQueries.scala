@@ -300,6 +300,35 @@ object StreamQueries {
     // window (the natural partitioning of the streaming source — state
     // scales with users, never globally), lateness is integer micros, so
     // the oracle matches exactly. Output is O(event types).
+    // Streaming state-size capacity report: before running the 2-hour
+    // stream-stream interval join (s_interval_join_attrib) on a real
+    // cluster, how much keyed state will the store hold? State for a
+    // user at any instant = that user's events inside the join horizon;
+    // evaluated at every arrival (the instants where state peaks) via a
+    // per-user RANGE window over event-time micros — the same per-key
+    // partitioning the state store itself uses, so the measurement
+    // scales exactly like the thing it measures. Output: one row per
+    // event_type with the peak and mean per-arrival state occupancy
+    // (mean as e6 fixed-point: sum·1e6 div n — portable) — the numbers
+    // that size executor memory and pick
+    // spark.sql.streaming.statefulOperator.* knobs.
+    "s_state_size_report" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"))
+        .rangeBetween(-7200000000L + 1, 0)
+      events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("state_rows", count(lit(1)).over(w))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_arrivals"),
+          max(col("state_rows")).as("peak_state_rows"),
+          expr("(sum(state_rows) * 1000000) div count(1)").as("mean_state_e6")
+        )
+        .orderBy("event_type")
+    }),
+
     "s_lateness_audit" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
@@ -457,6 +486,17 @@ object StreamQueries {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s_state_size_report" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |st AS (SELECT event_type,
+        |         count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW) AS state_rows
+        |       FROM e)
+        |SELECT event_type, count(*) AS n_arrivals,
+        |  CAST(max(state_rows) AS BIGINT) AS peak_state_rows,
+        |  (CAST(sum(state_rows) AS BIGINT) * 1000000) // count(*) AS mean_state_e6
+        |FROM st GROUP BY 1 ORDER BY 1""".stripMargin,
     "s_lateness_audit" ->
       """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
         |           FROM events),
