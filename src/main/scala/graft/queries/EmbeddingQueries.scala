@@ -410,6 +410,34 @@ object EmbeddingQueries {
         .orderBy("query_id")
     }),
 
+    // Distributed linear algebra without collect(): the corpus's top
+    // principal direction (first eigenvector of the uncentered Gram
+    // matrix Σ v·vᵀ) by TWO unrolled power iterations — the spectral
+    // primitive under PCA whitening, spectral clustering, and embedding
+    // diagnostics. The 64×64 Gram matrix is never materialized: each
+    // step is two linear passes (y = V·x keyed by vec_id, w = Vᵀ·y keyed
+    // by the 64 dims), so the cost is O(n·d) per iteration with
+    // partial-agg shuffles — the same shape at 100 TB. Fixed e6 start
+    // vector, fixed-point integer arithmetic throughout ([[powerStep]]),
+    // so the DuckDB mirror is bit-exact; EmbeddingSpec checks the
+    // direction against a double-precision reference (cos > 0.999).
+    "e_power_iteration_pc1" -> ((s, dir) => {
+      val dims = table(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          expr(s"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT))")
+            .as("qvi")
+        )
+        .select(col("vec_id"), posexplode(col("qvi")).as(Seq("pos", "q")))
+        // consumed twice per step × two steps — materialize the
+        // quantized dim frame once (hashedSets pattern)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("vec_id"))
+        .localCheckpoint()
+      val x0 = s.range(0, 64).select(col("id").cast("int").as("pos"), lit(1000000L).as("x_e6"))
+      val x2 = powerStep(dims, powerStep(dims, x0))
+      x2.orderBy("pos").select(col("pos"), col("x_e6"))
+    }),
+
     // Embedding-distribution drift monitor: per label, the L1 distance
     // between the centroid of the even-id cohort ("old") and the odd-id
     // cohort ("new") — the check a production embedding pipeline runs
@@ -706,6 +734,32 @@ object EmbeddingQueries {
         .orderBy(col("query_id"))
     })
   ) ++ pqHost
+
+  /** One distributed power-iteration step, integer fixed-point: given the
+    * current direction X(pos → x_e6), compute w = Σ_v (v·x)·v without ever
+    * materializing the 64×64 Gram matrix — y_v = Σ_pos q·x (shuffle on
+    * vec_id), then w_pos = Σ_v y'·q (shuffle on pos, 64 keys) — and
+    * renormalize to e6 by the max |w| coordinate. All sums are BIGINT
+    * (associative, partial-agg friendly); the two `div 2^26` / renorm
+    * shifts keep every intermediate under 2^63 through sf10 (≈2.2e18 at
+    * 2M vectors — a 100 TB corpus widens the w sums to DECIMAL(38)).
+    * Spark `div` and DuckDB `//` both truncate toward zero, so the
+    * signed quotients agree exactly.
+    */
+  private def powerStep(dims: DataFrame, x: DataFrame): DataFrame = {
+    val y = dims
+      .join(broadcast(x), "pos")
+      .groupBy(col("vec_id"))
+      .agg(sum(col("q") * col("x_e6")).as("y"))
+      .withColumn("yq", expr("y div 67108864")) // 2^26
+    val w = dims
+      .join(y.select(col("vec_id"), col("yq")), "vec_id")
+      .groupBy(col("pos"))
+      .agg(sum(col("yq") * col("q")).as("w"))
+    val wmax = w.agg(max(abs(col("w"))).as("wmax"))
+    w.crossJoin(broadcast(wmax))
+      .select(col("pos"), expr("w div greatest(1, wmax div 1000000)").as("x_e6"))
+  }
 
   /** PQ/ADC ranked candidates for the 10 standard query vectors:
     * M=8 × K=16 codebook from evenly-spaced sample vectors, argmin-L2
@@ -1208,6 +1262,30 @@ object EmbeddingQueries {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${cosSql("a.v", "b.v", "a.nrm", "b.nrm")} >= 0.95
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // Two power-iteration steps mirrored CTE-for-CTE: same quantization,
+    // same 2^26 shift, same max-renorm, same truncating division.
+    "e_power_iteration_pc1" -> {
+      def step(i: Int, prevX: String): String =
+        s"""y$i AS (SELECT d.vec_id,
+           |  CAST(sum(d.q * x.x_e6) AS BIGINT) // 67108864 AS yq
+           |  FROM dims d JOIN $prevX x ON x.pos = d.pos GROUP BY 1),
+           |w$i AS (SELECT d.pos, CAST(sum(y.yq * d.q) AS BIGINT) AS w
+           |  FROM dims d JOIN y$i y ON y.vec_id = d.vec_id GROUP BY 1),
+           |m$i AS (SELECT max(abs(w)) AS wmax FROM w$i),
+           |x$i AS (SELECT pos,
+           |  w // greatest(1, (SELECT wmax FROM m$i) // 1000000) AS x_e6 FROM w$i)""".stripMargin
+      s"""WITH q0 AS (SELECT vec_id,
+         |    [CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) for x in embedding] AS qvi
+         |  FROM embeddings),
+         |dims AS (SELECT vec_id, r.range - 1 AS pos, qvi[r.range] AS q
+         |         FROM q0 CROSS JOIN range(1, 65) r),
+         |x0 AS (SELECT r.range - 1 AS pos, CAST(1000000 AS BIGINT) AS x_e6
+         |       FROM range(1, 65) r),
+         |${step(1, "x0")},
+         |${step(2, "x1")}
+         |SELECT CAST(pos AS INT) AS pos, CAST(x_e6 AS BIGINT) AS x_e6
+         |FROM x2 ORDER BY pos""".stripMargin
+    },
     // NDCG@10 of IVF vs exact — both rankings mirrored from the shared
     // CTEs; the discount table and all gains are e6 integers.
     "e_ndcg_at_k" -> {

@@ -294,4 +294,33 @@ class EmbeddingSpec extends SparkSpecBase {
       assert(r.getAs[Long]("hits") >= 0L && r.getAs[Long]("hits") <= 10L)
     }
   }
+  test("power iteration: fixed-point direction matches a double-precision reference") {
+    import graft.queries.EmbeddingQueries
+    val rows = EmbeddingQueries.queries("e_power_iteration_pc1")(spark, Sf0001)
+      .collect().sortBy(_.getAs[Int]("pos"))
+    assert(rows.length == 64)
+    val x = rows.map(_.getAs[Long]("x_e6").toDouble)
+    // driver-side double-precision power iteration on the same corpus
+    val vs = spark.read.parquet(s"$Sf0001/embeddings.parquet")
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    // same TWO steps as the query (the oracle proves bit-exactness;
+    // this proves the fixed-point arithmetic tracks real-number power
+    // iteration to quantization error)
+    var ref = Array.fill(64)(1.0)
+    for (_ <- 1 to 2) {
+      val w = Array.fill(64)(0.0)
+      vs.foreach { v =>
+        val y = v.indices.map(i => v(i) * ref(i)).sum
+        v.indices.foreach(i => w(i) += y * v(i))
+      }
+      val m = w.map(math.abs).max
+      ref = w.map(_ / m)
+    }
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / math.sqrt(a.map(z => z * z).sum * b.map(z => z * z).sum)
+    }
+    // sign of the dominant eigenvector is arbitrary; compare |cos|
+    assert(math.abs(cos(x, ref)) > 0.999)
+  }
 }
