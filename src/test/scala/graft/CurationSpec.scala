@@ -181,4 +181,13 @@ class CurationSpec extends SparkSpecBase {
     val nk = g.length.toLong; val tot = g.map(_._2).sum
     assert(r.getAs[Long]("salt_factor") == (maxCnt * nk + tot - 1) / tot)
   }
+  test("bm25 and weighted sample ride the GroupedTopK physical operator") {
+    // the plan property the 100 TB story depends on: per-group top-k
+    // via bounded heaps, not a window sort over full posting lists
+    Seq("t_bm25_topk", "t_weighted_sample").foreach { q =>
+      val df = CurationQueries.queries(q)(spark, Sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("GroupedTopK"), s"$q plan lacks GroupedTopKExec:\n$plan")
+    }
+  }
 }
