@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.etl.{Metrics, Normalize}
-import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, MediaQueries, OperatorQueries, ParityQueries, StarQueries, StreamQueries, TextQueries}
+import graft.queries.{CurationQueries, DedupQueries, EmbeddingQueries, LakehouseQueries, MediaQueries, OperatorQueries, ParityQueries, StarQueries, StreamQueries, TextQueries}
 import graft.sources.MockUserSource
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,7 +25,7 @@ object SparkEntry {
     ParityQueries.queries ++ StarQueries.queries ++ DedupQueries.queries ++
       TextQueries.queries ++ EmbeddingQueries.queries ++
       StreamQueries.queries ++ MediaQueries.queries ++ OperatorQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++ LakehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +33,5 @@ object SparkEntry {
     ParityQueries.oracle ++ StarQueries.oracle ++ DedupQueries.oracle ++
       TextQueries.oracle ++ EmbeddingQueries.oracle ++
       StreamQueries.oracle ++ MediaQueries.oracle ++ OperatorQueries.oracle ++
-      CurationQueries.oracle
+      CurationQueries.oracle ++ LakehouseQueries.oracle
 }

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Lakehouse table-management tier: the operations a 100 TB table needs
+  * AROUND the analytics — optimizer statistics, histograms, snapshot
+  * diffing, and data-quality gating. The reference
+  * (src/lib/etl.js:8-31) hard-codes a single static metrics blob; this
+  * tier computes the real thing, one scan each, at any scale.
+  *
+  * Scale design (100 TB):
+  *  - `o_table_stats`: ALL per-column stats ride ONE aggregate over one
+  *    scan (count/nulls/min/max fold partially map-side). The exact NDVs
+  *    force Catalyst's Expand (one replica per distinct column), which is
+  *    the oracle-parity price; the production path swaps
+  *    `count_distinct` → `approx_count_distinct` (HLL++, mergeable,
+  *    no Expand) — the same exact-vs-sketch trade `a2_approx_distinct
+  *    _scale` measures head-to-head.
+  *  - `o_equidepth_histogram`: boundaries from an exact `percentile`
+  *    aggregate (single buffer — fine at table-stats cardinalities, and
+  *    the oracle can mirror it); the scale path swaps in
+  *    `approx_percentile` (KLL-class mergeable sketch, demonstrated by
+  *    `t_kll_doclen_quantiles`) — bucket ASSIGNMENT is unchanged either
+  *    way: the 1-row boundary frame broadcasts and each row folds over
+  *    the 15 boundaries, so no global sort and no single-task window
+  *    (`ntile` over an unpartitioned window would serialize the table
+  *    through one task — the layout this tier exists to avoid).
+  *  - `o_snapshot_diff`: inverse of `o_cdc_merge_snapshot` — two
+  *    snapshots full-outer-join on the key and classify per row; only
+  *    per-change-type aggregates exit the join. With both snapshots
+  *    bucketed on the key (the `o_bucketed_join_stats` machinery) the
+  *    join is shuffle-free; AQE handles the skewless hash case here.
+  *  - `o_expectations_audit`: every scan-derivable constraint
+  *    (completeness, domain, range, uniqueness) folds into ONE aggregate
+  *    pass; only referential integrity needs a second input, as a
+  *    broadcast-dim anti-join. One scan + one tiny join for the whole
+  *    suite — never one scan per check.
+  */
+object LakehouseQueries {
+  import Q._
+
+  /** Columns profiled by `o_table_stats`. */
+  private val StatCols =
+    Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val NumBuckets = 16
+
+  /** Probability grid for the equi-depth boundaries, rendered once so the
+    * Spark `percentile` call and the DuckDB `quantile_cont` literal parse
+    * the IDENTICAL doubles (i/16 are exact in binary, so both engines
+    * interpolate from the same positions and produce the same boundary
+    * values — the `pc > b` bucket comparisons then agree bit-for-bit).
+    */
+  private val ProbList: String =
+    (1 until NumBuckets).map(i => (i.toDouble / NumBuckets).toString).mkString(", ")
+
+  /** The deterministic "old snapshot" for `o_snapshot_diff`, derived from
+    * the current `orders` so the diff has all three change types:
+    * rows born since the old snapshot (key%97==0) are absent from it,
+    * rows touched since (key%5==0) carried a different price, and the old
+    * snapshot holds since-deleted rows (synthetic key+20M for key%113==0).
+    */
+  private def oldSnapshot(cur: org.apache.spark.sql.DataFrame) = {
+    val base = cur
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice"))
+      )
+    val deleted = cur
+      .filter(col("o_orderkey") % 113 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+    base.unionByName(deleted)
+  }
+
+  /** The deterministic "dirty" orders frame for `o_expectations_audit`:
+    * planted violations for each constraint class (moduli chosen coprime
+    * and sparse so each class is attributable; 101·331 > any tested key
+    * range, so the custkey mutations never collide).
+    */
+  private def dirtyOrders(cur: org.apache.spark.sql.DataFrame) = {
+    val mutated = cur.select(
+      col("o_orderkey"),
+      when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+        .when(col("o_orderkey") % 331 === 0, col("o_custkey") + lit(1000000L))
+        .otherwise(col("o_custkey"))
+        .as("o_custkey"),
+      when(col("o_orderkey") % 251 === 0, lit("X"))
+        .otherwise(col("o_orderstatus"))
+        .as("o_orderstatus"),
+      when(col("o_orderkey") % 503 === 0, -col("o_totalprice"))
+        .otherwise(col("o_totalprice"))
+        .as("o_totalprice")
+    )
+    mutated.unionByName(mutated.filter(col("o_orderkey") % 997 === 0))
+  }
+
+  val queries: Map[String, Fn] = Map(
+    // ANALYZE TABLE-style per-column statistics — the inputs a
+    // cost-based optimizer needs (row count, null fraction, NDV,
+    // min/max) — in a single aggregate over a single scan, then
+    // unpivoted to one row per column via an explode of structs.
+    "o_table_stats" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val aggs = count(lit(1)).as("n_rows") +: StatCols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}_nn"),
+          count_distinct(col(c)).as(s"${c}_ndv"),
+          min(col(c).cast("double")).as(s"${c}_min"),
+          max(col(c).cast("double")).as(s"${c}_max")
+        )
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+        .select(
+          explode(array(StatCols.map { c =>
+            struct(
+              lit(c).as("column_name"),
+              col("n_rows"),
+              (col("n_rows") - col(s"${c}_nn")).as("n_nulls"),
+              col(s"${c}_ndv").as("ndv"),
+              col(s"${c}_min").as("min_val"),
+              col(s"${c}_max").as("max_val")
+            )
+          }: _*)).as("st")
+        )
+        .select("st.*")
+        .orderBy("column_name")
+    }),
+
+    // Equi-depth histogram of order totals (integer cents): exact
+    // percentile boundaries (1-row frame, broadcast) + a per-row fold
+    // over the 15 boundaries to assign buckets — two scans total, no
+    // global sort, no single-task window.
+    "o_equidepth_histogram" -> ((s, dir) => {
+      val pcs = table(s, dir, "orders").select(cents(col("o_totalprice")).as("pc"))
+      val bounds = pcs.agg(expr(s"percentile(pc, array($ProbList))").as("bs"))
+      pcs
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("pc"),
+          expr("CAST(aggregate(bs, 0, (acc, b) -> acc + IF(pc > b, 1, 0)) AS BIGINT)")
+            .as("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("pc")).as("lo_cents"),
+          max(col("pc")).as("hi_cents")
+        )
+        .orderBy("bucket")
+    }),
+
+    // Snapshot diff: classify every key across two table snapshots as
+    // insert / delete / update / unchanged with one full outer join,
+    // emitting only per-type counts and checksums. Values compare in
+    // integer cents so the verdict (and the hash) is engine-exact.
+    "o_snapshot_diff" -> ((s, dir) => {
+      val cur = table(s, dir, "orders")
+      val old = oldSnapshot(cur)
+      val curK = cur.select(
+        col("o_orderkey").as("ck"),
+        col("o_custkey").as("c_cust"),
+        col("o_orderstatus").as("c_status"),
+        cents(col("o_totalprice")).as("c_cents")
+      )
+      val oldK = old.select(
+        col("o_orderkey").as("ok"),
+        col("o_custkey").as("o_cust"),
+        col("o_orderstatus").as("o_status"),
+        cents(col("o_totalprice")).as("o_cents")
+      )
+      curK
+        .join(oldK, curK("ck") === oldK("ok"), "full_outer")
+        .select(
+          when(col("ok").isNull, lit("insert"))
+            .when(col("ck").isNull, lit("delete"))
+            .when(
+              col("c_cust") === col("o_cust") &&
+                col("c_status") === col("o_status") &&
+                col("c_cents") === col("o_cents"),
+              lit("unchanged")
+            )
+            .otherwise(lit("update"))
+            .as("change_type"),
+          coalesce(col("ck"), col("ok")).as("key"),
+          (coalesce(col("c_cents"), lit(0L)) - coalesce(col("o_cents"), lit(0L)))
+            .as("delta_cents")
+        )
+        .groupBy("change_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("key")).as("key_checksum"),
+          sum(col("delta_cents")).as("delta_cents_sum")
+        )
+        .orderBy("change_type")
+    }),
+
+    // Data-quality expectations (Deequ-shaped): four scan constraints in
+    // ONE aggregate + referential integrity as a broadcast anti-join,
+    // reported as (check_name, n_violations, passed).
+    "o_expectations_audit" -> ((s, dir) => {
+      val dirty = dirtyOrders(table(s, dir, "orders"))
+      val scan = dirty.agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_completeness"),
+        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+          .as("v_domain"),
+        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"),
+        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_uniqueness")
+      )
+      val orphans = dirty
+        .filter(col("o_custkey").isNotNull)
+        .join(
+          broadcast(table(s, dir, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"),
+          "left_anti"
+        )
+        .agg(count(lit(1)).as("v_referential"))
+      val checks = Seq(
+        "completeness_custkey" -> "v_completeness",
+        "domain_orderstatus" -> "v_domain",
+        "range_totalprice_positive" -> "v_range",
+        "uniqueness_orderkey" -> "v_uniqueness",
+        "referential_custkey" -> "v_referential"
+      )
+      scan
+        .crossJoin(orphans)
+        .select(
+          explode(array(checks.map { case (name, c) =>
+            struct(
+              lit(name).as("check_name"),
+              col(c).as("n_violations"),
+              (col(c) === 0L).as("passed")
+            )
+          }: _*)).as("ck")
+        )
+        .select("ck.*")
+        .orderBy("check_name")
+    }),
+
+    // PageRank centrality over the part co-purchase graph (undirected
+    // edges = part pairs appearing in the same order): the top-ranked
+    // parts are the catalog's "hub products". Three fixed damped
+    // iterations (d = 0.85) in e12 fixed-point LONGs — contribution =
+    // rank div degree, damping = ·85 div 100 — so every sum is
+    // associative integer arithmetic and the result engine-exact (float
+    // PageRank is reduction-order-dependent and could never hash-match
+    // an oracle). Scale design: the edge build is a self-join
+    // co-partitioned on l_orderkey whose per-key blowup is bounded by
+    // max-lines-per-order (≤7 in TPC-H shape — the bounded analog of
+    // the dedup tier's DF cap); each iteration is one join (messages
+    // along edges) + one groupBy (sum per target), lineage cut per
+    // round (localCheckpoint, same discipline as labelPropagate's
+    // fixpoint); no per-vertex driver state. Every node has degree ≥ 1
+    // by construction, so there is no dangling-mass correction term.
+    "o_pagerank_copurchase" -> ((s, dir) => {
+      val Scale = 1000000000000L // e12 fixed-point rank units
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li
+        .as("a")
+        .join(
+          li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey")
+        )
+        .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .distinct() // unweighted graph: many shared orders, one edge
+        .localCheckpoint() // consumed 2× per iteration: cut the build lineage
+      val adj = pairs
+        .select(col("pa").as("u"), col("pb").as("v"))
+        .unionAll(pairs.select(col("pb").as("u"), col("pa").as("v")))
+      val deg = adj.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      val nNodes = deg.agg(count(lit(1)).as("n_nodes")) // 1 row → broadcast
+      // static per-node frame: id, deg, r0 = SCALE/N, base = 0.15·SCALE/N
+      var ranks = deg
+        .crossJoin(broadcast(nNodes))
+        .select(
+          col("u").as("id"),
+          col("deg"),
+          expr(s"${Scale}L div n_nodes").as("r"),
+          expr(s"(15 * (${Scale}L div n_nodes)) div 100").as("base")
+        )
+        .localCheckpoint()
+      for (_ <- 1 to 3) {
+        val msgs = adj
+          .join(ranks.select(col("id"), expr("r div deg").as("c")), adj("u") === col("id"))
+          .groupBy(adj("v").as("mid"))
+          .agg(sum(col("c")).as("m"))
+        ranks = ranks
+          .join(msgs, ranks("id") === msgs("mid"))
+          .select(
+            col("id"),
+            col("deg"),
+            expr("base + (85 * m) div 100").as("r"),
+            col("base")
+          )
+          .localCheckpoint()
+      }
+      ranks
+        .select(col("id").as("part_id"), col("deg"), col("r").as("rank_e12"))
+        .orderBy(col("rank_e12").desc, col("part_id").asc)
+        .limit(20)
+    })
+  )
+
+  /** One unrolled PageRank iteration as a DuckDB CTE: messages = sum of
+    * rank div deg along edges, new rank = base + 85·msgs div 100 —
+    * mirroring the Spark fixed-point arithmetic operation-for-operation.
+    */
+  private def prIterDuck(prev: String, cur: String): String =
+    s""", $cur AS (SELECT $prev.id, $prev.deg, $prev.base,
+       |                $prev.base + (85 * m.m) // 100 AS r
+       |         FROM $prev JOIN (
+       |           SELECT adj.v AS id, CAST(sum($prev.r // $prev.deg) AS BIGINT) AS m
+       |           FROM adj JOIN $prev ON adj.u = $prev.id GROUP BY adj.v) m
+       |         ON $prev.id = m.id)""".stripMargin
+
+  private def statsSelect(c: String): String =
+    s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+       |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS ndv,
+       |  CAST(min($c) AS DOUBLE) AS min_val, CAST(max($c) AS DOUBLE) AS max_val
+       |FROM lineitem""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "o_table_stats" ->
+      (StatCols.map(statsSelect).mkString("", "\nUNION ALL\n", "\n") +
+        "ORDER BY column_name"),
+    "o_equidepth_histogram" ->
+      s"""WITH pc AS (SELECT ${centsSql("o_totalprice")} AS pc FROM orders),
+         |b AS (SELECT quantile_cont(pc, [$ProbList]) AS bs FROM pc)
+         |SELECT CAST(len(list_filter(b.bs, x -> pc.pc > x)) AS BIGINT) AS bucket,
+         |       count(*) AS n, min(pc.pc) AS lo_cents, max(pc.pc) AS hi_cents
+         |FROM pc, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "o_snapshot_diff" ->
+      s"""WITH cur AS (
+         |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS status,
+         |         ${centsSql("o_totalprice")} AS cents
+         |  FROM orders),
+         |old AS (
+         |  SELECT o_orderkey AS k, o_custkey AS cust, o_orderstatus AS status,
+         |         ${centsSql("(o_totalprice + CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END)")} AS cents
+         |  FROM orders WHERE o_orderkey % 97 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey + 20000000 AS k, o_custkey, o_orderstatus,
+         |         ${centsSql("o_totalprice")} AS cents
+         |  FROM orders WHERE o_orderkey % 113 = 0),
+         |d AS (
+         |  SELECT CASE WHEN old.k IS NULL THEN 'insert'
+         |              WHEN cur.k IS NULL THEN 'delete'
+         |              WHEN cur.cust = old.cust AND cur.status = old.status
+         |                   AND cur.cents = old.cents THEN 'unchanged'
+         |              ELSE 'update' END AS change_type,
+         |         coalesce(cur.k, old.k) AS key,
+         |         coalesce(cur.cents, 0) - coalesce(old.cents, 0) AS delta_cents
+         |  FROM cur FULL OUTER JOIN old ON cur.k = old.k)
+         |SELECT change_type, count(*) AS n,
+         |       CAST(sum(key) AS BIGINT) AS key_checksum,
+         |       CAST(sum(delta_cents) AS BIGINT) AS delta_cents_sum
+         |FROM d GROUP BY change_type ORDER BY change_type""".stripMargin,
+    "o_expectations_audit" ->
+      s"""WITH mut AS (
+         |  SELECT o_orderkey,
+         |    CASE WHEN o_orderkey % 101 = 0 THEN NULL
+         |         WHEN o_orderkey % 331 = 0 THEN o_custkey + 1000000
+         |         ELSE o_custkey END AS o_custkey,
+         |    CASE WHEN o_orderkey % 251 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         |    CASE WHEN o_orderkey % 503 = 0 THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+         |  FROM orders),
+         |dirty AS (
+         |  SELECT * FROM mut
+         |  UNION ALL
+         |  SELECT * FROM mut WHERE o_orderkey % 997 = 0),
+         |scan AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_completeness,
+         |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS v_domain,
+         |    CAST(sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+         |    count(*) - count(DISTINCT o_orderkey) AS v_uniqueness
+         |  FROM dirty),
+         |ref AS (
+         |  SELECT count(*) AS v_referential
+         |  FROM dirty d LEFT JOIN customer c ON d.o_custkey = c.c_custkey
+         |  WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL),
+         |checks AS (
+         |  SELECT 'completeness_custkey' AS check_name, v_completeness AS n_violations FROM scan
+         |  UNION ALL SELECT 'domain_orderstatus', v_domain FROM scan
+         |  UNION ALL SELECT 'range_totalprice_positive', v_range FROM scan
+         |  UNION ALL SELECT 'uniqueness_orderkey', v_uniqueness FROM scan
+         |  UNION ALL SELECT 'referential_custkey', v_referential FROM ref)
+         |SELECT check_name, n_violations, n_violations = 0 AS passed
+         |FROM checks ORDER BY check_name""".stripMargin,
+    "o_pagerank_copurchase" ->
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+         |, adj AS (SELECT pa AS u, pb AS v FROM pairs
+         |          UNION ALL SELECT pb AS u, pa AS v FROM pairs)
+         |, deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u)
+         |, nn AS (SELECT count(*) AS n_nodes FROM deg)
+         |, r0 AS (SELECT deg.u AS id, deg.deg,
+         |                1000000000000 // nn.n_nodes AS r,
+         |                (15 * (1000000000000 // nn.n_nodes)) // 100 AS base
+         |         FROM deg, nn)
+         |${prIterDuck("r0", "r1")}
+         |${prIterDuck("r1", "r2")}
+         |${prIterDuck("r2", "r3")}
+         |SELECT id AS part_id, deg, CAST(r AS BIGINT) AS rank_e12
+         |FROM r3 ORDER BY rank_e12 DESC, part_id ASC LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.LakehouseQueries
+
+/** Invariants for the lakehouse table-management tier (optimizer stats,
+  * equi-depth histogram, snapshot diff, expectations audit) and the
+  * dup-graph PageRank — all on sf0.001.
+  */
+class LakehouseSpec extends SparkSpecBase {
+
+  private def orders = spark.read.parquet(s"$Sf0001/orders.parquet")
+
+  test("table stats: one row per column, consistent with a direct scan") {
+    val rows = LakehouseQueries.queries("o_table_stats")(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val nRows = spark.read.parquet(s"$Sf0001/lineitem.parquet").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_nulls") == 0L) // lineitem is fully populated
+      val ndv = r.getAs[Long]("ndv")
+      assert(ndv >= 1L && ndv <= nRows)
+      assert(r.getAs[Double]("min_val") <= r.getAs[Double]("max_val"))
+    }
+    // spot-check one column against an independent aggregation
+    val q = rows.find(_.getAs[String]("column_name") == "l_quantity").get
+    val direct = spark.read
+      .parquet(s"$Sf0001/lineitem.parquet")
+      .agg(
+        count_distinct(col("l_quantity")),
+        min(col("l_quantity")),
+        max(col("l_quantity"))
+      )
+      .head()
+    assert(q.getAs[Long]("ndv") == direct.getLong(0))
+    assert(q.getAs[Double]("min_val") == direct.getDouble(1))
+    assert(q.getAs[Double]("max_val") == direct.getDouble(2))
+  }
+
+  test("equi-depth histogram: buckets partition the value domain and the rows") {
+    val rows = LakehouseQueries.queries("o_equidepth_histogram")(spark, Sf0001)
+      .collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = orders.count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach(r => assert(r.getAs[Long]("lo_cents") <= r.getAs[Long]("hi_cents")))
+    // value ranges are disjoint and ordered: each bucket starts strictly
+    // after the previous one ends (assignment is monotone in the value)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"))
+      case _ =>
+    }
+    // equi-depth: exact-quantile boundaries keep buckets near total/16
+    assert(rows.map(_.getAs[Long]("n")).max <= total / 4)
+  }
+
+  test("snapshot diff: per-change-type counts match the planted mutation moduli") {
+    val rows = LakehouseQueries.queries("o_snapshot_diff")(spark, Sf0001).collect()
+    val byType = rows.map(r => r.getAs[String]("change_type") -> r).toMap
+    assert(byType.keySet == Set("insert", "delete", "update", "unchanged"))
+    val nIns = orders.filter(col("o_orderkey") % 97 === 0).count()
+    val nDel = orders.filter(col("o_orderkey") % 113 === 0).count()
+    val nUpd =
+      orders.filter(col("o_orderkey") % 5 === 0 && col("o_orderkey") % 97 =!= 0).count()
+    val nAll = orders.count()
+    assert(byType("insert").getAs[Long]("n") == nIns)
+    assert(byType("delete").getAs[Long]("n") == nDel)
+    assert(byType("update").getAs[Long]("n") == nUpd)
+    assert(byType("unchanged").getAs[Long]("n") == nAll - nIns - nUpd)
+    // every update was exactly a +1.00 price in the old snapshot
+    assert(byType("update").getAs[Long]("delta_cents_sum") == -100L * nUpd)
+    // deletes contribute only old-side cents → negative delta
+    assert(byType("delete").getAs[Long]("delta_cents_sum") < 0L)
+  }
+
+  test("expectations audit: planted violation counts are recovered per check") {
+    val rows = LakehouseQueries.queries("o_expectations_audit")(spark, Sf0001).collect()
+    assert(rows.length == 5)
+    val byCheck =
+      rows.map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_violations")).toMap
+    // recompute the planted counts independently (dups double-count their
+    // mutation class; key 0 hits %101 before %331 — same CASE order)
+    def keys(m: Int) = orders.filter(col("o_orderkey") % m === 0)
+    val dupW = when(col("o_orderkey") % 997 === 0, 2L).otherwise(1L)
+    def planted(m: Int, excl: Int = 0): Long = {
+      val base = keys(m).filter(
+        if (excl == 0) lit(true) else col("o_orderkey") % excl =!= 0
+      )
+      base.agg(sum(dupW)).head().getLong(0)
+    }
+    assert(byCheck("completeness_custkey") == planted(101))
+    assert(byCheck("domain_orderstatus") == planted(251))
+    assert(byCheck("range_totalprice_positive") == planted(503))
+    assert(byCheck("uniqueness_orderkey") == keys(997).count())
+    assert(byCheck("referential_custkey") == planted(331, excl = 101))
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("passed") == (r.getAs[Long]("n_violations") == 0L))
+    )
+    // the planted corruption makes every check fail — the audit must see it
+    assert(rows.forall(!_.getAs[Boolean]("passed")))
+  }
+
+  test("pagerank: descending e12 ranks, distinct parts, irregular graph separates ranks") {
+    val rows = LakehouseQueries.queries("o_pagerank_copurchase")(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    val ranks = rows.map(_.getAs[Long]("rank_e12"))
+    assert(ranks.zip(ranks.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("part_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("deg") >= 1L)
+      // every rank ≥ the teleport base (0.15 · SCALE / N) > 0
+      assert(r.getAs[Long]("rank_e12") > 0L)
+    }
+    // the co-purchase graph is degree-irregular, so centrality must
+    // actually separate nodes (a regular graph would tie every rank —
+    // the degenerate case this query's graph was chosen to avoid)
+    assert(ranks.distinct.length > 1)
+    // a top-20 hub should be far better-connected than the median part
+    assert(rows.head.getAs[Long]("deg") > 1L)
+  }
+}
