@@ -30,11 +30,12 @@ import org.apache.spark.sql.functions._
   *    per-change-type aggregates exit the join. With both snapshots
   *    bucketed on the key (the `o_bucketed_join_stats` machinery) the
   *    join is shuffle-free; AQE handles the skewless hash case here.
-  *  - `o_expectations_audit`: every scan-derivable constraint
-  *    (completeness, domain, range, uniqueness) folds into ONE aggregate
-  *    pass; only referential integrity needs a second input, as a
-  *    broadcast-dim anti-join. One scan + one tiny join for the whole
-  *    suite — never one scan per check.
+  *  - `o_expectations_audit`: every constraint — completeness, domain,
+  *    range, uniqueness, AND referential integrity — folds into ONE
+  *    aggregate over one pass: the dim side enters as a broadcast LEFT
+  *    join (1:1 on the unique dim key) so "orphan" is just a null probe
+  *    inside the same aggregate. Never one scan per check, and no
+  *    separate anti-join branch re-scanning the fact table.
   */
 object LakehouseQueries {
   import Q._
@@ -196,26 +197,34 @@ object LakehouseQueries {
         .orderBy("change_type")
     }),
 
-    // Data-quality expectations (Deequ-shaped): four scan constraints in
-    // ONE aggregate + referential integrity as a broadcast anti-join,
-    // reported as (check_name, n_violations, passed).
+    // Data-quality expectations (Deequ-shaped): ALL five constraints —
+    // including referential integrity — in ONE aggregate over one pass.
+    // The dim side joins in as a broadcast LEFT join (not a separate
+    // anti-join branch, which would cost a second scan of the fact
+    // table); an orphan is then just `c_custkey IS NULL` inside the
+    // same aggregate that computes the scan metrics. Reported as
+    // (check_name, n_violations, passed).
     "o_expectations_audit" -> ((s, dir) => {
       val dirty = dirtyOrders(table(s, dir, "orders"))
-      val scan = dirty.agg(
-        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_completeness"),
-        sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
-          .as("v_domain"),
-        sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"),
-        (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_uniqueness")
-      )
-      val orphans = dirty
-        .filter(col("o_custkey").isNotNull)
+      val scan = dirty
         .join(
+          // customer keys are unique, so the broadcast left join is 1:1
+          // and leaves every scan-constraint count unchanged
           broadcast(table(s, dir, "customer").select(col("c_custkey"))),
           col("o_custkey") === col("c_custkey"),
-          "left_anti"
+          "left"
         )
-        .agg(count(lit(1)).as("v_referential"))
+        .agg(
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("v_completeness"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+            .as("v_domain"),
+          sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L)).as("v_range"),
+          (count(lit(1)) - count_distinct(col("o_orderkey"))).as("v_uniqueness"),
+          sum(
+            when(col("o_custkey").isNotNull && col("c_custkey").isNull, 1L)
+              .otherwise(0L)
+          ).as("v_referential")
+        )
       val checks = Seq(
         "completeness_custkey" -> "v_completeness",
         "domain_orderstatus" -> "v_domain",
@@ -224,7 +233,6 @@ object LakehouseQueries {
         "referential_custkey" -> "v_referential"
       )
       scan
-        .crossJoin(orphans)
         .select(
           explode(array(checks.map { case (name, c) =>
             struct(
