@@ -308,6 +308,221 @@ object LakehouseQueries {
         .select(col("id").as("part_id"), col("deg"), col("r").as("rank_e12"))
         .orderBy(col("rank_e12").desc, col("part_id").asc)
         .limit(20)
+    }),
+
+    // Record linkage (MDM-style entity resolution): a dirty registry of
+    // typo'd customer records links back to the master by BLOCKING on
+    // the exact attributes (nation, segment, balance bucket) and
+    // fuzzy-matching the name (levenshtein ≤ 2) within each block —
+    // never an all-pairs name comparison. Best match per dirty record
+    // is an argmin via `min(struct(lev, key))`: a plain aggregate with
+    // map-side partial merge, NOT a per-group window sort. Scale: block
+    // cardinality is the knob — (nation × segment × balance-bucket)
+    // here; at corpus scale the bucket width shrinks so block sizes
+    // stay bounded (same growth-law discipline as the LSH bit widths).
+    // Unmatched dirty rows survive via a left join and report as
+    // match_lev = -1 — linkage coverage is part of the result.
+    "o_record_linkage" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+      // dirty registry: every 4th customer re-keyed +900000 with a
+      // deterministic single-char name corruption (delete / substitute)
+      val dirty = cust
+        .filter(col("c_custkey") % 4 === 0)
+        .select(
+          (col("c_custkey") + 900000L).as("d_id"),
+          when(
+            col("c_custkey") % 3 === 0,
+            expr("substring(c_name, 1, length(c_name) - 1)") // deletion
+          ).when(
+            col("c_custkey") % 3 === 1,
+            concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")) // substitution
+          ).otherwise(col("c_name")).as("d_name"),
+          col("c_nationkey").as("d_nation"),
+          col("c_mktsegment").as("d_segment"),
+          col("c_acctbal").as("d_acctbal")
+        )
+      // $100-wide balance buckets, offset so the division runs on
+      // non-negative cents — Spark `div` truncates toward zero while
+      // DuckDB `//` floors, and the two disagree exactly on negatives
+      val blockExpr = (bal: org.apache.spark.sql.Column) =>
+        ((cents(bal) + lit(10000000L)) / 10000L).cast("long")
+      // the lev ≤ 2 verify lives IN the left-join condition: a dirty row
+      // whose block candidates all fail the threshold still emits its
+      // null row (a post-join filter would silently drop it instead of
+      // reporting match_lev = -1)
+      val cand = dirty
+        .join(
+          cust,
+          col("d_nation") === col("c_nationkey") &&
+            col("d_segment") === col("c_mktsegment") &&
+            blockExpr(col("d_acctbal")) === blockExpr(col("c_acctbal")) &&
+            levenshtein(col("d_name"), col("c_name")) <= 2,
+          "left"
+        )
+        .select(
+          col("d_id"),
+          col("c_custkey"),
+          levenshtein(col("d_name"), col("c_name")).as("lev")
+        )
+      cand
+        .groupBy(col("d_id"))
+        .agg(min(struct(col("lev"), col("c_custkey"))).as("best"))
+        .select(
+          col("d_id"),
+          coalesce(col("best.lev"), lit(-1)).as("match_lev"),
+          col("best.c_custkey").as("matched_key")
+        )
+        .groupBy(col("match_lev"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("d_id")).as("dirty_checksum"),
+          sum(coalesce(col("matched_key"), lit(0L))).as("master_checksum")
+        )
+        .orderBy(col("match_lev"))
+    }),
+
+    // OHLC time-series downsampling: per (event_type, day) bars with
+    // open/close = value of the FIRST/LAST event under the total order
+    // (ts, event_id) — computed as `min/max(struct(ts, event_id,
+    // value))`, i.e. a partial-aggregable argmin/argmax instead of a
+    // per-bucket window sort (`first_value` over a window would sort
+    // every bucket; min(struct) folds map-side and merges
+    // associatively — the only formulation that scales to a 100 TB
+    // event stream). high/low/volume/turnover ride the same single
+    // aggregate; turnover in integer cents so the sum is order-exact.
+    "o_ohlc_bars" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+      ev.select(
+        col("event_type"),
+        // day as a TIMESTAMP bucket, not DATE: pandas renders Spark's
+        // DATE as python objects but DuckDB's as datetime64 — the
+        // driver's dtype-strict compare needs both sides timestamp
+        date_trunc("DAY", col("ts")).as("day"),
+        col("ts"),
+        col("event_id"),
+        cents(col("value")).as("v_cents")
+      ).groupBy(col("event_type"), col("day"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("v_cents"))).as("first_ev"),
+          max(struct(col("ts"), col("event_id"), col("v_cents"))).as("last_ev"),
+          min(col("v_cents")).as("low_cents"),
+          max(col("v_cents")).as("high_cents"),
+          count(lit(1)).as("volume"),
+          sum(col("v_cents")).as("turnover_cents")
+        )
+        .select(
+          col("event_type"),
+          col("day"),
+          col("first_ev.v_cents").as("open_cents"),
+          col("last_ev.v_cents").as("close_cents"),
+          col("low_cents"),
+          col("high_cents"),
+          col("volume"),
+          col("turnover_cents")
+        )
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Pareto frontier (skyline) over lineitem's (price, quantity),
+    // minimizing both: the rows no other row beats on both axes. The
+    // classic formulation is a sorted sweep with a running min — i.e. a
+    // window over the GLOBAL price order, which is a single-task sort at
+    // scale. This plan decomposes the prefix-min hierarchically instead:
+    //   1. per-price min quantity (one shuffle, map-side combinable);
+    //   2. price domain split into 32 ranges by exact quantile bounds
+    //      (broadcast 1-row frame, same fold as the histogram);
+    //   3. the exclusive prefix-min factors into bucket-level prefix
+    //      (a 32-row window — trivially small at any scale) + a
+    //      within-bucket running min (window PARTITIONED by bucket, so
+    //      every sort is 1/32nd of the distinct-price domain, and the
+    //      bucket count is the scale knob).
+    // A frontier price survives iff its min-qty beats the combined
+    // exclusive prefix. Output: the frontier points with their row
+    // multiplicity.
+    "o_pareto_frontier" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(
+        cents(col("l_extendedprice")).as("pc"),
+        cents(col("l_quantity")).as("qc")
+      )
+      val pairCounts = li.groupBy(col("pc"), col("qc")).agg(count(lit(1)).as("n"))
+      // min qty per price; (qc, n) ride one struct-min so the row count
+      // of the minimal pair comes along without a second join
+      val pcMin = pairCounts
+        .groupBy(col("pc"))
+        .agg(min(struct(col("qc"), col("n"))).as("b"))
+        .select(col("pc"), col("b.qc").as("mq"), col("b.n").as("n"))
+      val probs = (1 until 32).map(i => (i.toDouble / 32).toString).mkString(", ")
+      val bounds = pcMin.agg(expr(s"percentile(pc, array($probs))").as("bs"))
+      val bucketed = pcMin
+        .crossJoin(broadcast(bounds))
+        .select(
+          col("pc"),
+          col("mq"),
+          col("n"),
+          expr("CAST(aggregate(bs, 0, (acc, b) -> acc + IF(pc > b, 1, 0)) AS BIGINT)")
+            .as("bkt")
+        )
+        .localCheckpoint() // two consumers: bucket mins and the per-row filter
+      import org.apache.spark.sql.expressions.Window
+      val bmin = bucketed.groupBy(col("bkt")).agg(min(col("mq")).as("bmq"))
+      val bprefix = bmin.select(
+        col("bkt"),
+        min(col("bmq")).over(
+          Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+        ).as("prev_bkt_min") // 32-row frame: the only unpartitioned window
+      )
+      val winBkt = Window.partitionBy(col("bkt")).orderBy(col("pc"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      bucketed
+        .withColumn("prev_in_bkt", min(col("mq")).over(winBkt))
+        .join(broadcast(bprefix), Seq("bkt"))
+        .withColumn(
+          "prefix_min",
+          least(
+            coalesce(col("prev_in_bkt"), lit(Long.MaxValue)),
+            coalesce(col("prev_bkt_min"), lit(Long.MaxValue))
+          )
+        )
+        .filter(col("mq") < col("prefix_min"))
+        .select(col("pc").as("price_cents"), col("mq").as("qty_cents"), col("n").as("n_rows"))
+        .orderBy(col("price_cents"))
+    }),
+
+    // Transaction-log time travel (Delta/Iceberg-shaped): an actions log
+    // of file adds/removes replayed to the live snapshot AT each of
+    // three versions — computed in ONE pass over the log by exploding
+    // each action against the requested version lattice (a 3-element
+    // broadcast literal), never one scan per version. A file is live at
+    // V iff added at-or-before V and not removed at-or-before V.
+    "o_time_travel_log" -> ((s, dir) => {
+      val log = table(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        (col("o_orderkey") % 40).as("v_add"),
+        when(
+          col("o_orderkey") % 3 === 0,
+          (col("o_orderkey") % 40) + (col("o_orderkey") % 7) + 1L
+        ).as("v_rm"), // null = never removed
+        cents(col("o_totalprice")).as("bytes")
+      )
+      log
+        .select(
+          col("file_id"),
+          col("v_add"),
+          col("v_rm"),
+          col("bytes"),
+          explode(expr("array(10L, 25L, 39L)")).as("version")
+        )
+        .filter(
+          col("v_add") <= col("version") &&
+            (col("v_rm").isNull || col("v_rm") > col("version"))
+        )
+        .groupBy(col("version"))
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("file_id")).as("file_checksum"),
+          sum(col("bytes")).as("bytes_sum")
+        )
+        .orderBy(col("version"))
     })
   )
 
@@ -414,6 +629,87 @@ object LakehouseQueries {
          |${prIterDuck("r1", "r2")}
          |${prIterDuck("r2", "r3")}
          |SELECT id AS part_id, deg, CAST(r AS BIGINT) AS rank_e12
-         |FROM r3 ORDER BY rank_e12 DESC, part_id ASC LIMIT 20""".stripMargin
+         |FROM r3 ORDER BY rank_e12 DESC, part_id ASC LIMIT 20""".stripMargin,
+    // argmin mirrored as a row_number window (DuckDB has no struct-min
+    // aggregate); ties broken identically on (lev, c_custkey).
+    "o_record_linkage" ->
+      s"""WITH dirty AS (
+         |  SELECT c_custkey + 900000 AS d_id,
+         |    CASE WHEN c_custkey % 3 = 0 THEN substring(c_name, 1, length(c_name) - 1)
+         |         WHEN c_custkey % 3 = 1 THEN substring(c_name, 1, length(c_name) - 1) || 'X'
+         |         ELSE c_name END AS d_name,
+         |    c_nationkey AS d_nation, c_mktsegment AS d_segment, c_acctbal AS d_acctbal
+         |  FROM customer WHERE c_custkey % 4 = 0),
+         |cand AS (
+         |  SELECT d.d_id, c.c_custkey, levenshtein(d.d_name, c.c_name) AS lev
+         |  FROM dirty d LEFT JOIN customer c
+         |    ON d.d_nation = c.c_nationkey AND d.d_segment = c.c_mktsegment
+         |   AND (${centsSql("d.d_acctbal")} + 10000000) // 10000
+         |     = (${centsSql("c.c_acctbal")} + 10000000) // 10000
+         |   AND levenshtein(d.d_name, c.c_name) <= 2),
+         |best AS (
+         |  SELECT d_id, CAST(coalesce(lev, -1) AS INTEGER) AS match_lev,
+         |         c_custkey AS matched_key
+         |  FROM cand
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY d_id ORDER BY lev ASC NULLS LAST, c_custkey ASC NULLS LAST) = 1)
+         |SELECT match_lev, count(*) AS n,
+         |       CAST(sum(d_id) AS BIGINT) AS dirty_checksum,
+         |       CAST(sum(coalesce(matched_key, 0)) AS BIGINT) AS master_checksum
+         |FROM best GROUP BY match_lev ORDER BY match_lev""".stripMargin,
+    // first/last mirrored as two row_number windows over the identical
+    // (ts, event_id) total order.
+    "o_ohlc_bars" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         |         CAST(ts AS TIMESTAMP) AS tss, event_id,
+         |         ${centsSql("value")} AS v_cents
+         |  FROM events WHERE value IS NOT NULL),
+         |f AS (
+         |  SELECT event_type, day, v_cents,
+         |    row_number() OVER (PARTITION BY event_type, day ORDER BY tss ASC, event_id ASC) AS rn_a,
+         |    row_number() OVER (PARTITION BY event_type, day ORDER BY tss DESC, event_id DESC) AS rn_d
+         |  FROM ev),
+         |agg AS (
+         |  SELECT event_type, day, min(v_cents) AS low_cents, max(v_cents) AS high_cents,
+         |         count(*) AS volume, CAST(sum(v_cents) AS BIGINT) AS turnover_cents
+         |  FROM ev GROUP BY 1, 2)
+         |SELECT agg.event_type, agg.day, fo.v_cents AS open_cents, fc.v_cents AS close_cents,
+         |       low_cents, high_cents, volume, turnover_cents
+         |FROM agg
+         |JOIN (SELECT event_type, day, v_cents FROM f WHERE rn_a = 1) fo
+         |  ON agg.event_type = fo.event_type AND agg.day = fo.day
+         |JOIN (SELECT event_type, day, v_cents FROM f WHERE rn_d = 1) fc
+         |  ON agg.event_type = fc.event_type AND agg.day = fc.day
+         |ORDER BY agg.event_type, agg.day""".stripMargin,
+    // the frontier mirrored as ONE window sweep over the per-price mins
+    // (the NOT EXISTS formulation is quadratic in distinct prices and
+    // would stall DuckDB at scale; the window is the same semantics)
+    "o_pareto_frontier" ->
+      s"""WITH v AS (SELECT ${centsSql("l_extendedprice")} AS pc,
+         |                  ${centsSql("l_quantity")} AS qc FROM lineitem),
+         |pm AS (SELECT pc, min(qc) AS mq FROM v GROUP BY pc),
+         |sw AS (SELECT pc, mq,
+         |         min(mq) OVER (ORDER BY pc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin
+         |       FROM pm),
+         |fr AS (SELECT pc, mq FROM sw WHERE pmin IS NULL OR mq < pmin)
+         |SELECT fr.pc AS price_cents, fr.mq AS qty_cents, count(*) AS n_rows
+         |FROM fr JOIN v ON v.pc = fr.pc AND v.qc = fr.mq
+         |GROUP BY 1, 2 ORDER BY price_cents""".stripMargin,
+    "o_time_travel_log" ->
+      s"""WITH log AS (
+         |  SELECT o_orderkey AS file_id, o_orderkey % 40 AS v_add,
+         |    CASE WHEN o_orderkey % 3 = 0
+         |         THEN (o_orderkey % 40) + (o_orderkey % 7) + 1 END AS v_rm,
+         |    ${centsSql("o_totalprice")} AS bytes
+         |  FROM orders),
+         |x AS (SELECT log.*, v.version FROM log
+         |      CROSS JOIN (SELECT unnest(CAST([10, 25, 39] AS BIGINT[])) AS version) v)
+         |SELECT version, count(*) AS n_files,
+         |       CAST(sum(file_id) AS BIGINT) AS file_checksum,
+         |       CAST(sum(bytes) AS BIGINT) AS bytes_sum
+         |FROM x
+         |WHERE v_add <= version AND (v_rm IS NULL OR v_rm > version)
+         |GROUP BY version ORDER BY version""".stripMargin
   )
 }

@@ -103,6 +103,111 @@ class LakehouseSpec extends SparkSpecBase {
     assert(rows.forall(!_.getAs[Boolean]("passed")))
   }
 
+  test("record linkage: unchanged names match exact, corrupted names match at lev 1") {
+    val rows = LakehouseQueries.queries("o_record_linkage")(spark, Sf0001).collect()
+    val byLev = rows.map(r => r.getAs[Int]("match_lev") -> r).toMap
+    val custs = spark.read.parquet(s"$Sf0001/customer.parquet")
+    val dirtyKeys = custs.filter(col("c_custkey") % 4 === 0)
+    val nExact = dirtyKeys.filter(col("c_custkey") % 3 === 2).count()
+    val nTypo = dirtyKeys.filter(col("c_custkey") % 3 =!= 2).count()
+    // blocking is complete by construction (exact attributes unchanged),
+    // so the true master is always a candidate: no -1 rows
+    assert(!byLev.contains(-1))
+    // unchanged names are unique → lev 0 is exactly the untouched third,
+    // and each matches its own master (identical name ⇒ same key)
+    assert(byLev(0).getAs[Long]("n") == nExact)
+    val exactKeySum =
+      dirtyKeys.filter(col("c_custkey") % 3 === 2).agg(sum("c_custkey")).head().getLong(0)
+    assert(byLev(0).getAs[Long]("master_checksum") == exactKeySum)
+    assert(byLev(0).getAs[Long]("dirty_checksum") == exactKeySum + 900000L * nExact)
+    // every corrupted name is lev ≥ 1 from every 18-char master (deletion
+    // shortens, substitution plants a char no master ends with) and lev 1
+    // from its own master → the rest of the registry lands at lev 1
+    assert(byLev(1).getAs[Long]("n") == nTypo)
+    assert(rows.map(_.getAs[Long]("n")).sum == nExact + nTypo)
+  }
+
+  test("ohlc bars: bounds hold and open/close agree with an independent sort") {
+    val rows = LakehouseQueries.queries("o_ohlc_bars")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Long]("low_cents"), r.getAs[Long]("high_cents"))
+      assert(lo <= hi)
+      assert(r.getAs[Long]("open_cents") >= lo && r.getAs[Long]("open_cents") <= hi)
+      assert(r.getAs[Long]("close_cents") >= lo && r.getAs[Long]("close_cents") <= hi)
+      val vol = r.getAs[Long]("volume")
+      val turn = r.getAs[Long]("turnover_cents")
+      assert(vol >= 1L && turn >= vol * lo && turn <= vol * hi)
+    }
+    // cross-check one bar against a driver-side sort of its raw events
+    val sample = rows.maxBy(_.getAs[Long]("volume"))
+    val ev = graft.queries.Q
+      .events(spark, Sf0001)
+      .filter(
+        col("event_type") === sample.getAs[String]("event_type") &&
+          date_trunc("DAY", col("ts")) === lit(sample.getAs[java.sql.Timestamp]("day"))
+      )
+      .filter(col("value").isNotNull)
+      .select(col("ts"), col("event_id"), round(col("value") * 100).cast("long").as("c"))
+      .collect()
+      // sort at full precision: getTime is ms-truncated, getNanos carries
+      // the complete fractional second
+      .sortBy(r => (r.getTimestamp(0).getTime / 1000, r.getTimestamp(0).getNanos, r.getLong(1)))
+    assert(ev.head.getLong(2) == sample.getAs[Long]("open_cents"))
+    assert(ev.last.getLong(2) == sample.getAs[Long]("close_cents"))
+    assert(ev.length == sample.getAs[Long]("volume"))
+  }
+
+  test("pareto frontier: matches a driver-side brute-force sweep exactly") {
+    val rows = LakehouseQueries.queries("o_pareto_frontier")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val prices = rows.map(_.getAs[Long]("price_cents"))
+    val qtys = rows.map(_.getAs[Long]("qty_cents"))
+    // frontier structure: strictly increasing price, strictly decreasing qty
+    assert(prices.zip(prices.tail).forall { case (a, b) => a < b })
+    assert(qtys.zip(qtys.tail).forall { case (a, b) => a > b })
+    // brute force on the raw pairs (sf0.001 is small enough to collect)
+    val pairs = spark.read
+      .parquet(s"$Sf0001/lineitem.parquet")
+      .select(
+        round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_quantity") * 100).cast("long").as("qc")
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val perPrice = pairs.groupBy(_._1).map { case (pc, ps) =>
+      val mq = ps.map(_._2).min
+      (pc, mq, ps.count(_._2 == mq).toLong)
+    }.toSeq.sortBy(_._1)
+    var best = Long.MaxValue
+    val expected = perPrice.flatMap { case (pc, mq, n) =>
+      if (mq < best) { best = mq; Some((pc, mq, n)) } else None
+    }
+    assert(rows.map(r =>
+      (r.getAs[Long]("price_cents"), r.getAs[Long]("qty_cents"), r.getAs[Long]("n_rows"))
+    ).toSeq == expected)
+  }
+
+  test("time travel: each version snapshot equals a direct filter of the log") {
+    val rows = LakehouseQueries.queries("o_time_travel_log")(spark, Sf0001).collect()
+    assert(rows.map(_.getAs[Long]("version")).toSeq == Seq(10L, 25L, 39L))
+    Seq(10L, 25L, 39L).foreach { v =>
+      val live = orders
+        .select(
+          col("o_orderkey").as("fid"),
+          (col("o_orderkey") % 40).as("va"),
+          when(
+            col("o_orderkey") % 3 === 0,
+            (col("o_orderkey") % 40) + (col("o_orderkey") % 7) + 1L
+          ).as("vr")
+        )
+        .filter(col("va") <= v && (col("vr").isNull || col("vr") > v))
+      val r = rows.find(_.getAs[Long]("version") == v).get
+      assert(r.getAs[Long]("n_files") == live.count())
+      assert(r.getAs[Long]("file_checksum") == live.agg(sum("fid")).head().getLong(0))
+    }
+  }
+
   test("pagerank: descending e12 ranks, distinct parts, irregular graph separates ranks") {
     val rows = LakehouseQueries.queries("o_pagerank_copurchase")(spark, Sf0001).collect()
     assert(rows.length == 20)
