@@ -523,6 +523,87 @@ object LakehouseQueries {
           sum(col("bytes")).as("bytes_sum")
         )
         .orderBy(col("version"))
+    }),
+
+    // Cohort retention: users grouped by first-activity week, activity
+    // counted per (cohort, week-offset), retention = active/cohort-size
+    // in exact e6 integers. Two shuffles total — per-user first week,
+    // then the (user, week) distinct — and the rate join runs on the
+    // already-aggregated (cohort × offset) frame, which is tiny at any
+    // corpus scale (weeks², not users).
+    "o_cohort_retention" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val firstWeek = ev
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("WEEK", col("ts"))).as("cohort"))
+      val weekly = ev
+        .select(col("user_id"), date_trunc("WEEK", col("ts")).as("week"))
+        .distinct()
+      val counts = weekly
+        .join(firstWeek, Seq("user_id"))
+        .select(
+          col("cohort"),
+          (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset")
+        )
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .localCheckpoint() // two consumers (sizes + rate join): the tiny
+      // (cohort × offset) frame materializes once, the 2-shuffle user
+      // pipeline never re-runs (ReuseExchange is defeated by pushdown
+      // de-canonicalization — see DedupQueries.hashedSets)
+      // offset 0 row IS the cohort size (every user is active in their
+      // own first week by construction)
+      val sizes = counts
+        .filter(col("week_offset") === 0L)
+        .select(col("cohort").as("c0"), col("n_users").as("cohort_size"))
+      counts
+        .join(broadcast(sizes), col("cohort") === col("c0"))
+        .select(
+          col("cohort"),
+          col("week_offset"),
+          col("n_users"),
+          expr("n_users * 1000000L div cohort_size").as("retention_e6")
+        )
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
+    // Session transition matrix: within-session consecutive event-type
+    // pairs (gap ≤ 30 min) → Markov transition counts and e6
+    // row-normalized probabilities. The lag window is PARTITIONED by
+    // user — the streaming source's natural state partitioning, so the
+    // sort is per-user, never global; ties in ts break on event_id so
+    // the replay is deterministic. The probability normalizer joins on
+    // the aggregated from-type frame (|event types| rows).
+    "o_transition_matrix" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = events(s, dir)
+        .select(
+          col("user_id"),
+          col("ts"),
+          col("event_id"),
+          col("event_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"),
+          lag(col("ts"), 1).over(w).as("prev_ts")
+        )
+        .filter(
+          col("from_type").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) <= 1800L * 1000000L
+        )
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // two consumers: the |types|² frame
+      // materializes once so the per-user lag window runs exactly once
+      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("row_total"))
+      trans
+        .join(broadcast(totals), Seq("from_type"))
+        .select(
+          col("from_type"),
+          col("to_type"),
+          col("n"),
+          expr("n * 1000000L div row_total").as("prob_e6")
+        )
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -710,6 +791,36 @@ object LakehouseQueries {
          |       CAST(sum(bytes) AS BIGINT) AS bytes_sum
          |FROM x
          |WHERE v_add <= version AND (v_rm IS NULL OR v_rm > version)
-         |GROUP BY version ORDER BY version""".stripMargin
+         |GROUP BY version ORDER BY version""".stripMargin,
+    "o_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+        |fw AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id),
+        |wk AS (SELECT DISTINCT user_id, week FROM ev),
+        |cnt AS (SELECT f.cohort,
+        |               CAST(date_diff('day', f.cohort, w.week) // 7 AS BIGINT) AS week_offset,
+        |               count(*) AS n_users
+        |        FROM wk w JOIN fw f ON w.user_id = f.user_id
+        |        GROUP BY 1, 2),
+        |sz AS (SELECT cohort AS c0, n_users AS cohort_size FROM cnt WHERE week_offset = 0)
+        |SELECT cnt.cohort, cnt.week_offset, cnt.n_users,
+        |       (cnt.n_users * 1000000) // sz.cohort_size AS retention_e6
+        |FROM cnt JOIN sz ON cnt.cohort = sz.c0
+        |ORDER BY cohort, week_offset""".stripMargin,
+    "o_transition_matrix" ->
+      """WITH t AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS tss, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS from_type,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events),
+        |tr AS (SELECT from_type, event_type AS to_type, count(*) AS n
+        |       FROM t
+        |       WHERE from_type IS NOT NULL
+        |         AND epoch_us(tss) - epoch_us(prev_ts) <= 1800 * 1000000
+        |       GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        |       (tr.n * 1000000) // tot.row_total AS prob_e6
+        |FROM tr JOIN tot ON tr.from_type = tot.from_type
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin
   )
 }

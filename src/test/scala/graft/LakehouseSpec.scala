@@ -208,6 +208,36 @@ class LakehouseSpec extends SparkSpecBase {
     }
   }
 
+  test("cohort retention: offset-0 rows are full cohorts and cover every user") {
+    val rows = LakehouseQueries.queries("o_cohort_retention")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("week_offset") >= 0L)
+      assert(r.getAs[Long]("n_users") >= 1L)
+      assert(r.getAs[Long]("retention_e6") <= 1000000L)
+    }
+    val offset0 = rows.filter(_.getAs[Long]("week_offset") == 0L)
+    // every user is active in their own first week → retention exactly 1
+    offset0.foreach(r => assert(r.getAs[Long]("retention_e6") == 1000000L))
+    val nUsers = graft.queries.Q
+      .events(spark, Sf0001)
+      .select(col("user_id"))
+      .distinct()
+      .count()
+    assert(offset0.map(_.getAs[Long]("n_users")).sum == nUsers)
+  }
+
+  test("transition matrix: per-row probabilities floor-sum to one") {
+    val rows = LakehouseQueries.queries("o_transition_matrix")(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).values.foreach { rs =>
+      val total = rs.map(_.getAs[Long]("prob_e6")).sum
+      // integer floors: Σ ≤ 1e6 and loses < 1 per to-type
+      assert(total <= 1000000L && total > 1000000L - rs.length)
+      rs.foreach(r => assert(r.getAs[Long]("n") >= 1L))
+    }
+  }
+
   test("pagerank: descending e12 ranks, distinct parts, irregular graph separates ranks") {
     val rows = LakehouseQueries.queries("o_pagerank_copurchase")(spark, Sf0001).collect()
     assert(rows.length == 20)
