@@ -400,4 +400,99 @@ object Media {
           .as("frame_indices")
       )
   }
+
+  final case class AHash(media_id: Long, lo: Long, hi: Long)
+
+  /** Image corpus for perceptual dedup: every image blob plus, for ids
+    * divisible by 9, a perturbed re-render (media_id + 3,000,000) whose
+    * source text has its first character shifted by +4 — the changed
+    * byte recurs ⌈w·h/len⌉ times in the cyclic pixel stream, i.e. a
+    * handful of slightly-different pixels: the re-encode analog of a
+    * re-crawled image with a retouched corner. 3,000,000 ≡ 0 (mod 32),
+    * so the variant keeps the original's id-derived geometry.
+    */
+  def imageCorpusWithVariants(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
+    import spark.implicits._
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        if (id % 3 != 0) Iterator.empty
+        else {
+          val orig = MediaBlob(
+            id,
+            "image",
+            synthPng(id, text.getBytes("UTF-8")),
+            MediaMeta("image/png", imageWidth(id), ImageHeight, 0L)
+          )
+          if (id % 9 == 0) {
+            val ptext = ((text.charAt(0) + 4).toChar +: text.substring(1))
+            Iterator(
+              orig,
+              MediaBlob(
+                id + 3000000L,
+                "image",
+                synthPng(id + 3000000L, ptext.getBytes("UTF-8")),
+                MediaMeta("image/png", imageWidth(id + 3000000L), ImageHeight, 0L)
+              )
+            )
+          } else Iterator(orig)
+        }
+      }
+  }
+
+  /** 64-bit average hash (aHash) over the DECODED pixels: the image is
+    * split into an 8×8 grid (integer boundaries r·h div 8 — exact for
+    * any geometry, cells differ by ≤1 row/col), and bit b is set iff
+    * cell b's mean exceeds the global mean. The comparison is the
+    * cross-multiplication `cellSum·n > total·cellPixels` — pure integer
+    * arithmetic, no division, so the oracle reproduces every bit.
+    * Returned as two 32-bit halves (lo = bits 0–31): banding and
+    * hamming run on (lo, hi) exactly like the SimHash path, and a
+    * single 64-bit value would put bit 63 in the sign position of both
+    * engines' BIGINT shifts. Same `mapPartitions` codec batching as
+    * [[extractFeatures]] — at scale the hash computes in the scan
+    * projection and only (id, lo, hi) ever shuffles, never pixels.
+    */
+  def aHash64(
+      blobs: Dataset[MediaBlob],
+      decoder: Decoder = ModalityDecoder
+  ): Dataset[AHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { b =>
+        val d = decoder.decode(b.content, b.meta)
+        val w = d.width
+        val h = d.height
+        val q = d.samples.map(s => (s * 256.0).toLong)
+        val total = q.sum
+        val n = q.length.toLong
+        var lo = 0L
+        var hi = 0L
+        var bit = 0
+        while (bit < 64) {
+          val r = bit / 8
+          val c = bit % 8
+          val rLo = r * h / 8
+          val rHi = (r + 1) * h / 8
+          val cLo = c * w / 8
+          val cHi = (c + 1) * w / 8
+          var sum = 0L
+          var rr = rLo
+          while (rr < rHi) {
+            var cc = cLo
+            while (cc < cHi) { sum += q(rr * w + cc); cc += 1 }
+            rr += 1
+          }
+          val cells = (rHi - rLo).toLong * (cHi - cLo)
+          if (sum * n > total * cells) {
+            if (bit < 32) lo |= 1L << bit else hi |= 1L << (bit - 32)
+          }
+          bit += 1
+        }
+        AHash(b.media_id, lo, hi)
+      }
+    }
+  }
 }

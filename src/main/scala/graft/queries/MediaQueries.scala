@@ -88,6 +88,56 @@ object MediaQueries {
         .filter(col("n_copies") > 1)
         .select(col("content_md5"), col("keeper"), col("n_copies"))
         .orderBy("keeper")
+    }),
+
+    // Perceptual (average-hash) image near-dup: every image goes through
+    // the REAL javax.imageio decode, hashes to 64 bits via the 8×8
+    // global-mean grid (Media.aHash64 — pure integer threshold, so the
+    // oracle reproduces every bit), and pairs come from a 4×16-bit band
+    // join — by pigeonhole EXACT for hamming ≤ 3, identical machinery to
+    // d_simhash_pairs but over decoded pixels instead of shingles. The
+    // planted corpus re-renders every 9th image from slightly-perturbed
+    // source text (a few pixels differ): binary dedup (m_binary_dedup)
+    // can never catch these — the PNG bytes differ — which is exactly
+    // the gap perceptual hashing exists to close.
+    "m_ahash_near_dup" -> ((s, dir) => {
+      val hashes = Media
+        .aHash64(Media.imageCorpusWithVariants(s, dir))
+        .toDF()
+        .localCheckpoint() // both band-join sides: decode each image ONCE
+      val bands = hashes
+        .select(
+          col("media_id"),
+          col("lo"),
+          col("hi"),
+          explode(
+            expr(
+              "array(struct(0 AS band, lo & 65535L AS bkey), " +
+                "struct(1 AS band, shiftright(lo, 16) & 65535L AS bkey), " +
+                "struct(2 AS band, hi & 65535L AS bkey), " +
+                "struct(3 AS band, shiftright(hi, 16) & 65535L AS bkey))"
+            )
+          ).as("bk")
+        )
+        .select(col("media_id"), col("lo"), col("hi"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      bands
+        .select(col("band"), col("bkey"), col("media_id").as("id_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+        .join(
+          bands.select(col("band"), col("bkey"), col("media_id").as("id_b"),
+            col("lo").as("lo_b"), col("hi").as("hi_b")),
+          Seq("band", "bkey")
+        )
+        .filter(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"),
+          col("id_b"),
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int").as("hamming")
+        )
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -144,6 +194,46 @@ object MediaQueries {
         |  WHERE doc_id % 7 = 0)
         |SELECT md5(text) AS content_md5, min(media_id) AS keeper,
         |       count(*) AS n_copies
-        |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin
+        |FROM b GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper""".stripMargin,
+    // aHash mirrored pixel-for-pixel: cyclic codepoint pixels, 8×8
+    // integer-boundary cells via nested list comprehensions, the same
+    // cross-multiplied global-mean threshold, 32-bit halves, all-pairs
+    // hamming (candidate banding is invisible to results — pigeonhole
+    // makes the band join exact for hamming ≤ 3).
+    "m_ahash_near_dup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id,
+        |         chr(unicode(text[1]) + 4) || text[2:] AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |t AS (SELECT doc_id,
+        |  [CAST(unicode(text[i]) AS BIGINT) for i in range(1, len(text) + 1)] AS cps
+        |  FROM imgs),
+        |g AS (SELECT doc_id, CAST(32 + doc_id % 32 AS BIGINT) AS W, CAST(32 AS BIGINT) AS H,
+        |  [cps[((i - 1) % len(cps)) + 1]
+        |   for i in range(1, CAST((32 + doc_id % 32) * 32 AS INT) + 1)] AS smp
+        |  FROM t),
+        |b AS (SELECT doc_id,
+        |  [CASE WHEN list_sum([
+        |     smp[(((bb // 8) * H) // 8 + k // (((bb % 8) + 1) * W // 8 - (bb % 8) * W // 8)) * W
+        |         + (bb % 8) * W // 8
+        |         + (k % (((bb % 8) + 1) * W // 8 - (bb % 8) * W // 8)) + 1]
+        |     for k in range(0, ((((bb // 8) + 1) * H) // 8 - ((bb // 8) * H) // 8)
+        |                       * (((bb % 8) + 1) * W // 8 - (bb % 8) * W // 8))])
+        |     * (W * H) > list_sum(smp) * ((((bb // 8) + 1) * H) // 8 - ((bb // 8) * H) // 8)
+        |                               * (((bb % 8) + 1) * W // 8 - (bb % 8) * W // 8)
+        |   THEN 1 ELSE 0 END
+        |   for bb in range(0, 64)] AS bits
+        |  FROM g),
+        |hsh AS (SELECT doc_id,
+        |  CAST(list_sum([bits[i + 1] * (CAST(1 AS BIGINT) << i) for i in range(0, 32)]) AS BIGINT) AS lo,
+        |  CAST(list_sum([bits[i + 33] * (CAST(1 AS BIGINT) << i) for i in range(0, 32)]) AS BIGINT) AS hi
+        |  FROM b)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+        |FROM hsh a JOIN hsh b2 ON a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -144,4 +144,30 @@ class MediaSpec extends SparkSpecBase {
     assert(n == nVideo)
     assert(plan.agg(min(size(col("frame_indices")))).collect()(0).getInt(0) >= 1)
   }
+
+  test("ahash near-dup: planted perceptual variants found; binary dedup blind to them") {
+    val rows = graft.queries.MediaQueries
+      .queries("m_ahash_near_dup")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    val nPlanted = docs.filter(col("doc_id") % 9 === 0).count()
+    // a +4 shift on one recurring byte moves cell means by ≲2% of range —
+    // the overwhelming majority of variants stay within hamming 3 of
+    // their original (exactly the perceptual-invariance the hash is for)
+    val variantPairs = rows.count { r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 3000000L
+    }
+    assert(variantPairs >= nPlanted / 2)
+    // and the perturbed PNG BYTES always differ → md5 dedup finds none
+    val corpus = Media.imageCorpusWithVariants(spark, Sf0001)
+    val md5Groups = corpus.toDF()
+      .filter(col("media_id") >= 3000000L || col("media_id") % 9 === 0)
+      .groupBy(md5(col("content")))
+      .count()
+      .filter(col("count") > 1)
+      .count()
+    assert(md5Groups == 0L)
+  }
 }
