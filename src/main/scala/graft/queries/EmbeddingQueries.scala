@@ -302,6 +302,75 @@ object EmbeddingQueries {
         .agg(count(col("hit")).as("hits"))
         .select(col("query_id"), col("hits"), round(col("hits") / 10.0, 6).as("recall"))
         .orderBy(col("query_id"))
+    }),
+
+    // MMR diversity re-ranking (Carbonell & Goldstein): greedily pick 5
+    // of the top-20 relevance shortlist, each round maximizing
+    // λ·rel − (1−λ)·maxSimToSelected (λ = 0.5) with ties on neighbor_id.
+    // The 100 TB shape: the corpus is scanned ONCE (the shortlist
+    // build); the 5 greedy rounds then run on an O(queries × 20) frame
+    // whose size is independent of corpus scale — iterative refinement
+    // never re-touches the corpus. Scoring is the same fold-ordered
+    // vec_dot doubles as every other embedding query, so each round's
+    // argmax is bit-identical in the DuckDB mirror (selection is
+    // discrete — one ulp of divergence would pick a different document,
+    // making this the sharpest float-portability test in the suite).
+    // Round 1's empty selected-set coalesces maxSim to 0, so one score
+    // formula serves all rounds.
+    "e_mmr_diversify" -> ((s, dir) => {
+      val cand = bruteforceTopK(s, dir, 20)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("cv"), col("cn"))
+        .localCheckpoint() // shortlist: the only corpus-derived frame
+      val pair = cand
+        .as("a")
+        .join(
+          cand.as("b"),
+          col("a.query_id") === col("b.query_id") &&
+            col("a.neighbor_id") =!= col("b.neighbor_id")
+        )
+        .select(
+          col("a.query_id").as("query_id"),
+          col("a.neighbor_id").as("ida"),
+          col("b.neighbor_id").as("idb"),
+          (expr(dotSpark("a.cv", "b.cv")) / (sqrt(col("a.cn")) * sqrt(col("b.cn"))))
+            .as("sim")
+        )
+        .localCheckpoint() // 20×20 per query, consumed every round
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+      var selected = s.emptyDataFrame
+      for (r <- 1 to 5) {
+        val remaining =
+          if (r == 1) cand
+          else cand.join(selected, Seq("query_id", "neighbor_id"), "left_anti")
+        val maxSim =
+          if (r == 1) null
+          else
+            pair
+              .join(
+                selected.select(col("query_id"), col("neighbor_id").as("idb")),
+                Seq("query_id", "idb")
+              )
+              .groupBy(col("query_id"), col("ida").as("neighbor_id"))
+              .agg(max(col("sim")).as("msim"))
+        val scored =
+          (if (r == 1) remaining.withColumn("msim", lit(null).cast("double"))
+           else remaining.join(maxSim, Seq("query_id", "neighbor_id"), "left"))
+            .select(
+              col("query_id"),
+              col("neighbor_id"),
+              (lit(0.5) * col("cos") - lit(0.5) * coalesce(col("msim"), lit(0.0)))
+                .as("score")
+            )
+        val pick = scored
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("query_id"), col("neighbor_id"), lit(r).as("rank"), col("score"))
+        selected =
+          (if (r == 1) pick else selected.unionByName(pick)).localCheckpoint()
+      }
+      selected
+        .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("score"), 6).as("score"))
+        .orderBy(col("query_id"), col("rank"))
     })
   ) ++ queries2
 
@@ -975,6 +1044,28 @@ object EmbeddingQueries {
   private def cosSql(qv: String, cv: String, qn: String, cn: String) =
     s"${dotDuck(qv, cv)} / (sqrt($qn) * sqrt($cn))"
 
+  /** One unrolled greedy MMR round as a DuckDB CTE pair: the remaining
+    * candidates' max-sim-to-selected joins in, the round's winner is the
+    * (score DESC, neighbor_id) row_number()=1 row, and `a_r` accumulates
+    * the selected set — mirroring the Spark loop round-for-round. */
+  private def mmrStepDuck(r: Int): String = {
+    val prev = s"a${r - 1}"
+    s""", s$r AS (SELECT query_id, neighbor_id, $r AS rank, score FROM (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    0.5 * c.cos - 0.5 * coalesce(m.msim, 0.0) AS score,
+       |    row_number() OVER (PARTITION BY c.query_id
+       |      ORDER BY 0.5 * c.cos - 0.5 * coalesce(m.msim, 0.0) DESC, c.neighbor_id) AS rn
+       |  FROM cand c
+       |  LEFT JOIN (SELECT p2.query_id, p2.ida AS nid, max(p2.sim) AS msim
+       |             FROM pr p2 JOIN $prev s ON p2.query_id = s.query_id AND p2.idb = s.neighbor_id
+       |             GROUP BY 1, 2) m
+       |    ON c.query_id = m.query_id AND c.neighbor_id = m.nid
+       |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
+       |                    WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
+       |  ) WHERE rn = 1)
+       |, a$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+  }
+
   /** IVF(nprobe=2) candidate scoring as a CTE chain (requires the `n`
     * normed-vector CTE in scope) — shared by the `e_ivf_topk` oracle and
     * the recall-measurement oracle, mirroring [[ivfTopK]] exactly. */
@@ -1051,6 +1142,34 @@ object EmbeddingQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // 5 greedy MMR rounds unrolled as CTE pairs (s_r = the round's pick,
+    // a_r = cumulative selected set); one ulp of score divergence would
+    // pick a different document, so this doubles as the suite's
+    // sharpest float-portability check.
+    "e_mmr_diversify" ->
+      s"""$vecsCte,
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv, c.nrm AS cn,
+         |        ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cand AS (SELECT query_id, neighbor_id, cv, cn, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM p) WHERE rk <= 20),
+         |pr AS (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         |         ${dotDuck("a.cv", "b.cv")} / (sqrt(a.cn) * sqrt(b.cn)) AS sim
+         |       FROM cand a JOIN cand b
+         |         ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
+         |s1 AS (SELECT query_id, neighbor_id, 1 AS rank, score FROM (
+         |  SELECT query_id, neighbor_id, 0.5 * cos - 0.5 * 0.0 AS score,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY 0.5 * cos - 0.5 * 0.0 DESC, neighbor_id) AS rn
+         |  FROM cand) WHERE rn = 1),
+         |a1 AS (SELECT * FROM s1)
+         |${mmrStepDuck(2)}
+         |${mmrStepDuck(3)}
+         |${mmrStepDuck(4)}
+         |${mmrStepDuck(5)}
+         |SELECT query_id, neighbor_id, rank, round(score, 6) AS score
+         |FROM a5 ORDER BY query_id, rank""".stripMargin,
     "e_int8_quantized_topk" ->
       s"""$vecsCte,
          |qz AS (SELECT vec_id,

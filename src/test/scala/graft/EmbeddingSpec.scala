@@ -323,4 +323,30 @@ class EmbeddingSpec extends SparkSpecBase {
     // sign of the dominant eigenvector is arbitrary; compare |cos|
     assert(math.abs(cos(x, ref)) > 0.999)
   }
+
+  test("mmr: 5 picks per query, round-1 is the relevance argmax, scores non-increasing") {
+    val rows = EmbeddingQueries.queries("e_mmr_diversify")(spark, Sf0001).collect()
+    val top1 = EmbeddingQueries
+      .queries("e_bruteforce_topk")(spark, Sf0001)
+      .collect()
+      .filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      assert(ordered.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      assert(ordered.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      // with an empty selected set, MMR round 1 degenerates to relevance
+      assert(ordered.head.getAs[Long]("neighbor_id") == top1(q))
+      // from round 2 on, each candidate's msim is a max over a growing
+      // selected set — scores only decay, so the winners are
+      // non-increasing. Round 1 is excluded: its empty-set convention
+      // (msim = 0) is NOT the limit of a real max (cosines can be
+      // negative), so round 2 may legally score above round 1.
+      val scores = ordered.map(_.getAs[Double]("score"))
+      scores.drop(1).zip(scores.drop(2)).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
 }
