@@ -610,9 +610,14 @@ object LakehouseQueries {
   /** One unrolled PageRank iteration as a DuckDB CTE: messages = sum of
     * rank div deg along edges, new rank = base + 85·msgs div 100 —
     * mirroring the Spark fixed-point arithmetic operation-for-operation.
+    * MATERIALIZED is load-bearing at scale: each iteration references its
+    * predecessor twice (outer row + message subquery), so DuckDB's default
+    * CTE inlining re-derives the 30M-row edge build 2^iters times — at sf1
+    * that spilled past 78 GB of temp before the hint pinned each CTE to one
+    * evaluation (the localCheckpoint on the Spark side is the same move).
     */
   private def prIterDuck(prev: String, cur: String): String =
-    s""", $cur AS (SELECT $prev.id, $prev.deg, $prev.base,
+    s""", $cur AS MATERIALIZED (SELECT $prev.id, $prev.deg, $prev.base,
        |                $prev.base + (85 * m.m) // 100 AS r
        |         FROM $prev JOIN (
        |           SELECT adj.v AS id, CAST(sum($prev.r // $prev.deg) AS BIGINT) AS m
@@ -694,15 +699,15 @@ object LakehouseQueries {
          |SELECT check_name, n_violations, n_violations = 0 AS passed
          |FROM checks ORDER BY check_name""".stripMargin,
     "o_pagerank_copurchase" ->
-      s"""WITH pairs AS (
+      s"""WITH pairs AS MATERIALIZED (
          |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
          |  FROM lineitem a JOIN lineitem b
          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
-         |, adj AS (SELECT pa AS u, pb AS v FROM pairs
+         |, adj AS MATERIALIZED (SELECT pa AS u, pb AS v FROM pairs
          |          UNION ALL SELECT pb AS u, pa AS v FROM pairs)
-         |, deg AS (SELECT u, count(*) AS deg FROM adj GROUP BY u)
+         |, deg AS MATERIALIZED (SELECT u, count(*) AS deg FROM adj GROUP BY u)
          |, nn AS (SELECT count(*) AS n_nodes FROM deg)
-         |, r0 AS (SELECT deg.u AS id, deg.deg,
+         |, r0 AS MATERIALIZED (SELECT deg.u AS id, deg.deg,
          |                1000000000000 // nn.n_nodes AS r,
          |                (15 * (1000000000000 // nn.n_nodes)) // 100 AS base
          |         FROM deg, nn)
