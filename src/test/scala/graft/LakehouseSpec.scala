@@ -256,4 +256,32 @@ class LakehouseSpec extends SparkSpecBase {
     // a top-20 hub should be far better-connected than the median part
     assert(rows.head.getAs[Long]("deg") > 1L)
   }
+
+  test("lakehouse tier plans contain no CartesianProduct") {
+    // every join in this tier is keyed (equi-join), broadcast-small-side,
+    // or a crossJoin against a 1-row aggregate (which plans as a broadcast
+    // nested loop over one row — O(n), fine). An actual CartesianProduct
+    // is the plan-shape failure that turns any of these into n² at scale,
+    // e.g. if a join condition stopped being recognized as an equi-join.
+    Seq(
+      "o_table_stats",
+      "o_equidepth_histogram",
+      "o_snapshot_diff",
+      "o_expectations_audit",
+      "o_pagerank_copurchase",
+      "o_record_linkage",
+      "o_pareto_frontier",
+      "o_cohort_retention",
+      "o_transition_matrix",
+      "o_time_travel_log",
+      "o_ohlc_bars"
+    ).foreach { q =>
+      val df = LakehouseQueries.queries(q)(spark, Sf0001)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(
+        !plan.contains("CartesianProduct"),
+        s"$q plan contains a CartesianProduct:\n$plan"
+      )
+    }
+  }
 }

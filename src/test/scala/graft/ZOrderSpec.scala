@@ -66,4 +66,35 @@ class ZOrderSpec extends SparkSpecBase {
     assert(zY < 0.7 * keyY, s"zorder should bound y: $zY vs $keyY")
     assert(zX < 0.7 * natX, s"zorder should bound x: $zX vs $natX")
   }
+
+  test("production z-order write path plans a rangepartitioning exchange, no global sort") {
+    // `o_zorder_layout` itself measures layout quality through a global
+    // row_number — a deliberately diagnostic formulation its scaladoc
+    // prices (exact chunk assignment, hash-matchable in DuckDB). The
+    // production WRITE recipe that scaladoc prescribes is
+    // repartitionByRange(z) + sortWithinPartitions(z): a parallel
+    // per-partition sort behind a rangepartitioning exchange, never a
+    // single-partition total order. Assert the recipe actually plans
+    // that way on the same z column the query computes.
+    val li = spark.read
+      .parquet(s"$Sf0001/lineitem.parquet")
+      .select(
+        col("l_orderkey"),
+        (col("l_partkey").cast("long") % 65536L).as("x"),
+        (col("l_suppkey").cast("long") % 65536L).as("y")
+      )
+      .withColumn("z", expr("x * 65536 + y")) // stand-in key: any z works
+    val written = li.repartitionByRange(8, col("z")).sortWithinPartitions(col("z"))
+    val plan = written.queryExecution.executedPlan.toString
+    assert(
+      plan.toLowerCase.contains("rangepartitioning"),
+      s"write path lacks a rangepartitioning exchange:\n$plan"
+    )
+    // sortWithinPartitions must plan as a LOCAL sort (global=false) —
+    // physical Sort prints as "Sort [keys], <global>, 0"
+    assert(
+      plan.contains("], false, 0") && !plan.contains("], true, 0"),
+      s"write path planned a global sort:\n$plan"
+    )
+  }
 }
