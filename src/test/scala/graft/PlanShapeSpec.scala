@@ -21,4 +21,17 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     assert(offenders.isEmpty, s"queries planning CartesianProduct: $offenders")
   }
+
+  test("every registered query has a DuckDB oracle except the documented rows-only set") {
+    // the driver records a weaker rows-only check for any `queries` key
+    // missing from `oracleSql` — so a typo'd oracle key would silently
+    // downgrade a query's correctness gate. Only a8_duration_sec is
+    // rows-only by design (wall-clock can't hash-match an oracle).
+    val rowsOnlyByDesign = Set("a8_duration_sec")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
+    assert(missing.isEmpty, s"queries silently downgraded to rows-only: $missing")
+    // and no orphan oracle for a query that doesn't exist
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without a registered query: $orphans")
+  }
 }
