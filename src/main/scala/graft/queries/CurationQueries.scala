@@ -296,6 +296,51 @@ object CurationQueries {
         .groupBy(col("source"), col("decile"))
         .agg(sum(col("cnt")).as("n_docs"), min(col("qb")).as("min_qb"), max(col("qb")).as("max_qb"))
         .orderBy(col("source"), col("decile"))
+    }),
+
+    // Trained-classifier APPLICATION at corpus scale — the CCNet/fastText
+    // quality-filter pattern (Wenzek et al. 2020, arXiv:1911.00359;
+    // Joulin et al. 2017, arXiv:1607.01759): a linear model over hashed
+    // bag-of-words features scores every document, and the per-source
+    // pass-rate report drives mixture decisions. The weight table is a
+    // deterministic stand-in for trained weights — w(bucket) =
+    // (bucket·2654435761 mod P) mod 2001 ∈ [0, 2000] over 4096 feature
+    // buckets (Knuth multiplicative hash; a real deployment broadcasts
+    // the trained vector, same plan shape) — so the oracle reproduces
+    // scores bit-for-bit. score_e6 = Σ_tokens w(b(token)) · 1e6 div
+    // (dl · 2000) ∈ [0, 1e6]; numerator stays under 2^63 to dl ~ 4.5e9
+    // tokens/doc (far past any real document).
+    //
+    // Scale: the entire feature-hash + weight-lookup + per-doc fold is
+    // ONE codegen'd projection (aggregate/transform lambdas over the
+    // word array — no explode, no per-token rows, no shuffle); the only
+    // exchange is the O(sources) final groupBy. At 100 TB this is a pure
+    // map-side scan — the ideal shape for classifier-filter passes.
+    "t_quality_lr_score" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn(
+          "sum_w",
+          expr(
+            "aggregate(transform(ws, w -> ((char_rolling_hash(w) % 4096) * 2654435761) % 1000000007 % 2001), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+          )
+        )
+        .withColumn("score_e6", expr("(sum_w * 1000000) div (size(ws) * 2000)"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("score_e6")).as("sum_score"),
+          sum(when(col("score_e6") >= 500000L, 1L).otherwise(0L)).as("n_pass")
+        )
+        .select(
+          col("source"),
+          col("n_docs"),
+          expr("sum_score div n_docs").as("avg_score_e6"),
+          col("n_pass"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_rate_e6")
+        )
+        .orderBy(col("source"))
     })
   )
 
@@ -406,6 +451,19 @@ object CurationQueries {
          |  CAST(sum(c.cnt) AS BIGINT) AS n_docs, min(c.qb) AS min_qb, max(c.qb) AS max_qb
          |FROM c JOIN t ON t.source = c.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }
+    },
+    "t_quality_lr_score" ->
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |sc AS (SELECT source, CAST(len(ws) AS BIGINT) AS dl,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [((${charHashDuck("w")} % 4096) * 2654435761) % 1000000007 % 2001 for w in ws]),
+         |      (acc, x) -> acc + x) AS sum_w
+         |  FROM d),
+         |s2 AS (SELECT source, (sum_w * 1000000) // (dl * 2000) AS score_e6 FROM sc)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(score_e6) AS BIGINT) // count(*) AS avg_score_e6,
+         |  CAST(sum(CASE WHEN score_e6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  (CAST(sum(CASE WHEN score_e6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS pass_rate_e6
+         |FROM s2 GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -604,6 +604,49 @@ object LakehouseQueries {
           expr("n * 1000000L div row_total").as("prob_e6")
         )
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Small-file compaction planner — the other half of lakehouse table
+    // maintenance next to `o_zorder_layout` (Delta/Iceberg OPTIMIZE
+    // bin-packing): given a file manifest (here simulated as one file
+    // per (ship-month partition, writer-bucket l_orderkey % 64) — the
+    // layout 64 parallel writers produce), group each partition's files
+    // into compaction bins of ~4096 rows (production bins on bytes; rows
+    // are the deterministic stand-in) and report, per partition, the
+    // small-file problem and the plan that fixes it. Bins use the same
+    // boundary-tolerant exclusive-prefix-sum layout as
+    // `t_sequence_packing` (greedy first-fit is a non-associative reset
+    // scan with no partial-agg form; prefix-sum div capacity is
+    // order-deterministic and windowable).
+    //
+    // Scale: THE point of this operator is that planning runs on the
+    // MANIFEST, not the data — the only data-sized exchange is the
+    // (month, bucket) rollup (in a real lakehouse even that comes free
+    // from the manifest's per-file stats); the planning window then runs
+    // per partition over ≤64 metadata rows. Output is O(months).
+    "o_compaction_plan" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = table(s, dir, "lineitem")
+        .groupBy(
+          date_trunc("month", col("l_shipdate")).cast("date").as("part_month"),
+          (col("l_orderkey") % 64).as("file_id")
+        )
+        .agg(count(lit(1)).as("n_rows"))
+      val w = Window
+        .partitionBy(col("part_month"))
+        .orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_excl", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("bin", expr("cum_excl div 4096"))
+        .groupBy(date_format(col("part_month"), "yyyy-MM-dd").as("part_month"))
+        .agg(
+          count(lit(1)).as("n_input_files"),
+          sum(when(col("n_rows") < 2048L, 1L).otherwise(0L)).as("n_small_files"),
+          count_distinct(col("bin")).as("n_output_files"),
+          sum(col("n_rows")).as("rows_total")
+        )
+        .orderBy(col("part_month"))
     })
   )
 
@@ -826,6 +869,19 @@ object LakehouseQueries {
         |SELECT tr.from_type, tr.to_type, tr.n,
         |       (tr.n * 1000000) // tot.row_total AS prob_e6
         |FROM tr JOIN tot ON tr.from_type = tot.from_type
-        |ORDER BY tr.from_type, tr.to_type""".stripMargin
+        |ORDER BY tr.from_type, tr.to_type""".stripMargin,
+    "o_compaction_plan" ->
+      """WITH files AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS part_month,
+        |    l_orderkey % 64 AS file_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1, 2),
+        |pl AS (SELECT part_month, n_rows,
+        |    CAST(coalesce(sum(n_rows) OVER (PARTITION BY part_month ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+        |  FROM files)
+        |SELECT strftime(part_month, '%Y-%m-%d') AS part_month, CAST(count(*) AS BIGINT) AS n_input_files,
+        |  CAST(sum(CASE WHEN n_rows < 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files,
+        |  CAST(count(DISTINCT cum_excl // 4096) AS BIGINT) AS n_output_files,
+        |  CAST(sum(n_rows) AS BIGINT) AS rows_total
+        |FROM pl GROUP BY part_month ORDER BY part_month""".stripMargin
   )
 }

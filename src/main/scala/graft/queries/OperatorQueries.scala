@@ -619,6 +619,55 @@ object OperatorQueries {
           expr("(max_cnt * n_keys * 1000000) div total_rows").as("skew_e6"),
           expr("(max_cnt * n_keys + total_rows - 1) div total_rows").as("salt_factor")
         )
+    }),
+
+    // Time-series anomaly detection over the event stream's daily volume
+    // — the pipeline-monitoring primitive that pages when a source dries
+    // up or floods: per (event_type, day), flag days whose count departs
+    // the trailing-7-observed-day mean by more than 2 standard
+    // deviations. The z-test is EXACT integer arithmetic (no sqrt, no
+    // doubles): with S = Σ trailing counts and Q = Σ trailing counts²,
+    //   |x − S/7| > 2σ  ⟺  (7x − S)² > 4·(7Q − S²)
+    // (both sides ×49; σ² = (7Q − S²)/49, population variance). The
+    // squares are computed in DECIMAL(38,0) on BOTH engines — Spark's
+    // non-ANSI BIGINT multiply wraps silently on overflow while DuckDB
+    // raises, so at ~1e9 events/day/type (where (7x)² ≈ 5e19 > 2^63) the
+    // two engines would otherwise DIVERGE instead of both failing;
+    // decimal keeps them exact and in agreement to ~1e18 events/day.
+    //
+    // Scale: one exchange for the (type, day) daily rollup (map-side
+    // partial counts); the trailing window runs per event_type over
+    // O(days) rows — bounded by calendar time, not data volume. Output
+    // is O(types × days) at any corpus size.
+    "o_anomaly_daily_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = Q
+        .events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_days", count(lit(1)).over(w))
+        .withColumn("trail_sum", coalesce(sum(col("x")).over(w), lit(0L)))
+        .withColumn(
+          "trail_sq",
+          coalesce(sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w), expr("CAST(0 AS DECIMAL(38,0))"))
+        )
+        .withColumn(
+          "is_anomaly",
+          col("trail_days") === 7L &&
+            expr("CAST(7 * x - trail_sum AS DECIMAL(38,0)) * (7 * x - trail_sum)") >
+            expr("4 * (7 * trail_sq - CAST(trail_sum AS DECIMAL(38,0)) * trail_sum)")
+        )
+        .select(
+          col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("x"),
+          col("trail_days"),
+          col("trail_sum"),
+          col("is_anomaly")
+        )
+        .orderBy(col("event_type"), col("day"))
     })
   )
 
@@ -800,6 +849,22 @@ object OperatorQueries {
         |SELECT t.n_keys, t.total_rows, t.min_cnt, t.max_cnt, m.p50_low, tk.top_key,
         |  (t.max_cnt * t.n_keys * 1000000) // t.total_rows AS skew_e6,
         |  (t.max_cnt * t.n_keys + t.total_rows - 1) // t.total_rows AS salt_factor
-        |FROM t, m, tk""".stripMargin
+        |FROM t, m, tk""".stripMargin,
+    "o_anomaly_daily_counts" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |wt AS (SELECT event_type, day, x,
+        |    CAST(count(*) OVER w AS BIGINT) AS trail_days,
+        |    CAST(coalesce(sum(x) OVER w, 0) AS BIGINT) AS trail_sum,
+        |    CAST(coalesce(sum(CAST(x AS DECIMAL(38,0)) * x) OVER w,
+        |      CAST(0 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS trail_sq
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x, trail_days, trail_sum,
+        |  (trail_days = 7 AND
+        |   CAST(7 * x - trail_sum AS DECIMAL(38,0)) * (7 * x - trail_sum) >
+        |   4 * (7 * trail_sq - CAST(trail_sum AS DECIMAL(38,0)) * trail_sum)) AS is_anomaly
+        |FROM wt ORDER BY event_type, day""".stripMargin
   )
 }

@@ -797,6 +797,44 @@ object TextQueries {
           coalesce(col("id_checksum"), lit(0L)).as("id_checksum")
         )
         .orderBy("source")
+    }),
+
+    // Per-source n-gram NOVELTY rate — the mixing-side complement of the
+    // boilerplate/span-dedup views: what fraction of a source's distinct
+    // 8-gram spans appear NOWHERE else in the corpus? Curation recipes
+    // weight sources by novel content, not raw bytes (a mirror site can
+    // be terabytes of zero-novelty text), so this is the report a
+    // mixture-weighting stage reads next to `t_quality_calibration`.
+    // Span universe matches `t_span_dedup`/`t_boilerplate_chunks`:
+    // per-doc DISTINCT hashed word-8-grams (string-free numeric fold).
+    //
+    // Scale: one exchange on (span-hash, source) with map-side partial
+    // counts; the corpus-wide df per span is a window SUM over the ≤
+    // |sources| rows already co-located by that exchange's hash — no
+    // second corpus scan, no self-join, no skew (a span's partition is
+    // bounded by the source count). Final per-source rollup is O(sources).
+    "t_source_novelty" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      val spans = table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn(
+          "g",
+          expr(
+            s"array_distinct(flatten(transform(array(transform(ws, w -> char_rolling_hash(w))), wh -> ${hashedNgramsSpark("wh", 8)})))"
+          )
+        )
+        .select(col("source"), explode(col("g")).as("h"))
+      val perSrc = spans.groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
+      val wH = Window.partitionBy(col("h"))
+      perSrc
+        .withColumn("df_total", sum(col("cnt")).over(wH))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("cnt")).as("n_spans"),
+          sum(when(col("df_total") === 1L, col("cnt")).otherwise(0L)).as("n_novel")
+        )
+        .withColumn("novelty_e6", expr("(n_novel * 1000000) div n_spans"))
+        .orderBy("source")
     })
   )
 
@@ -1067,6 +1105,19 @@ object TextQueries {
          |  coalesce(t.n_taken, 0) AS n_taken,
          |  coalesce(t.sampled_chars, 0) AS sampled_chars,
          |  coalesce(t.id_checksum, 0) AS id_checksum
-         |FROM q LEFT JOIN t USING (source) ORDER BY q.source""".stripMargin
+         |FROM q LEFT JOIN t USING (source) ORDER BY q.source""".stripMargin,
+    "t_source_novelty" ->
+      s"""WITH tok AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |whs AS (SELECT source, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
+         |sp AS (SELECT source, unnest(list_distinct(${hashedNgramsDuck("wh", 8)})) AS h FROM whs),
+         |ps AS (SELECT h, source, CAST(count(*) AS BIGINT) AS cnt FROM sp GROUP BY 1, 2),
+         |wt AS (SELECT source, cnt,
+         |         CAST(sum(cnt) OVER (PARTITION BY h) AS BIGINT) AS df_total
+         |       FROM ps)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN df_total = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_novel,
+         |  (CAST(sum(CASE WHEN df_total = 1 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(sum(cnt) AS BIGINT) AS novelty_e6
+         |FROM wt GROUP BY source ORDER BY source""".stripMargin
   )
 }

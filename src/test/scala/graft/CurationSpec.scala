@@ -190,4 +190,38 @@ class CurationSpec extends SparkSpecBase {
       assert(plan.contains("GroupedTopK"), s"$q plan lacks GroupedTopKExec:\n$plan")
     }
   }
+
+  test("quality lr score: per-source counts cover the corpus; rates are exact") {
+    val rows = CurationQueries.queries("t_quality_lr_score")(spark, Sf0001).collect()
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+    assert(rows.map(_.getAs[String]("source")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val p = r.getAs[Long]("n_pass")
+      assert(p >= 0L && p <= n)
+      val avg = r.getAs[Long]("avg_score_e6")
+      assert(avg >= 0L && avg <= 1000000L)
+      assert(r.getAs[Long]("pass_rate_e6") == p * 1000000L / n)
+    }
+  }
+
+  test("quality lr score: matches a driver-side reimplementation on one source") {
+    val P = 1000000007L
+    def chash(w: String): Long = w.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    def weight(w: String): Long = ((chash(w) % 4096) * 2654435761L) % P % 2001
+    val texts = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .filter(col("source") === "src3").select("text")
+      .collect().map(_.getString(0))
+    val scores = texts.map { t =>
+      val ws = t.split(" ", -1)
+      val sumW = ws.map(weight).sum
+      sumW * 1000000L / (ws.length.toLong * 2000L)
+    }
+    val row = CurationQueries.queries("t_quality_lr_score")(spark, Sf0001)
+      .filter(col("source") === "src3").collect().head
+    assert(row.getAs[Long]("n_docs") == scores.length.toLong)
+    assert(row.getAs[Long]("avg_score_e6") == scores.sum / scores.length)
+    assert(row.getAs[Long]("n_pass") == scores.count(_ >= 500000L).toLong)
+  }
 }

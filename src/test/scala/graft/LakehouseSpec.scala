@@ -284,4 +284,30 @@ class LakehouseSpec extends SparkSpecBase {
       )
     }
   }
+
+  test("compaction plan: manifest totals and bin counts reconcile with the data") {
+    val rows = LakehouseQueries.queries("o_compaction_plan")(spark, Sf0001).collect()
+    val li = spark.read.parquet(s"$Sf0001/lineitem.parquet")
+    assert(rows.map(_.getAs[Long]("rows_total")).sum == li.count())
+    val manifest = li
+      .groupBy(
+        date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM-dd").as("m"),
+        (col("l_orderkey") % 64).as("f")
+      )
+      .count()
+      .collect()
+      .groupBy(_.getAs[String]("m"))
+    assert(rows.length == manifest.size)
+    rows.foreach { r =>
+      val files = manifest(r.getAs[String]("part_month"))
+      val counts = files.sortBy(_.getAs[Long]("f")).map(_.getAs[Long]("count"))
+      assert(r.getAs[Long]("n_input_files") == counts.length.toLong)
+      assert(r.getAs[Long]("rows_total") == counts.sum)
+      assert(r.getAs[Long]("n_small_files") == counts.count(_ < 2048L).toLong)
+      // exact bin recompute: exclusive prefix sum div capacity
+      val bins = counts.scanLeft(0L)(_ + _).init.map(_ / 4096L).distinct.length.toLong
+      assert(r.getAs[Long]("n_output_files") == bins)
+      assert(bins <= counts.length.toLong && bins <= counts.sum / 4096L + 1L)
+    }
+  }
 }

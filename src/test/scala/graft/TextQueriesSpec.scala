@@ -201,4 +201,34 @@ class TextQueriesSpec extends SparkSpecBase {
       .collect().map(_.toString).sorted.toSeq
     assert(a.nonEmpty && a == b)
   }
+
+  test("source novelty: matches a driver-side recompute of per-source unique-span rates") {
+    val P = 1000000007L
+    def chash(w: String): Long = w.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+    def spans(t: String): Set[Long] = {
+      val wh = t.split(" ", -1).map(chash)
+      val gs =
+        if (wh.length < 8) Array(wh.foldLeft(0L)((acc, h) => (acc * 31 + h) % P))
+        else wh.sliding(8).map(_.foldLeft(0L)((acc, h) => (acc * 31 + h) % P)).toArray
+      gs.toSet
+    }
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), spans(r.getString(1))))
+    val df = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    docs.foreach { case (_, sp) => sp.foreach(h => df(h) += 1) }
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val n = ds.map(_._2.size.toLong).sum
+      val novel = ds.map(_._2.count(h => df(h) == 1L).toLong).sum
+      src -> ((n, novel))
+    }
+    val rows = TextQueries.queries("t_source_novelty")(spark, Sf0001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, novel) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_spans") == n)
+      assert(r.getAs[Long]("n_novel") == novel)
+      assert(r.getAs[Long]("novelty_e6") == novel * 1000000L / n)
+    }
+  }
 }
