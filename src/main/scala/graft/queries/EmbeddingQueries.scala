@@ -1038,6 +1038,72 @@ object EmbeddingQueries {
           col("prefix_rank").cast("int").as("prefix_rank"),
           col("rank").cast("int").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Binary-quantization retrieval (the BQ/RaBitQ pattern production
+    // vector stores ship next to int8 and PQ): each 64-dim vector
+    // compresses to its 64 SIGN BITS, the coarse pass ranks by Hamming
+    // distance — two XOR+popcount ops per pair instead of 64 multiplies
+    // — and only the 50-candidate shortlist is re-ranked with exact
+    // cosine. Codes are stored as TWO 32-bit halves in BIGINTs: a single
+    // 64-bit code would need bit 63, whose 1<<63 overflows — Spark's
+    // non-ANSI shift wraps negative while DuckDB raises, so the engines
+    // would diverge; two halves keep every value positive and the
+    // arithmetic identical. Ties (common — Hamming is integer-valued)
+    // break on neighbor_id on both engines.
+    //
+    // Scale: the coarse scan reads 16 bytes/vector instead of 512 (the
+    // raw doubles) — a 32× byte reduction on the corpus-sized pass — and
+    // the shortlist rides the GroupedTopK physical operator (bounded
+    // map-side heaps, no global sort); exact re-rank then touches only
+    // |queries|·50 vectors via a broadcast semi-join, independent of
+    // corpus size.
+    "e_binary_topk" -> ((s, dir) => {
+      def half(off: Int) =
+        s"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
+          s"CASE WHEN element_at(v, j + ${off + 1}) > CAST(0 AS DOUBLE) " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
+      val all = vecs(s, dir)
+      val coded = all.select(
+        col("vec_id"),
+        expr(half(0)).as("lo"),
+        expr(half(32)).as("hi")
+      )
+      val q = coded
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+      val shortlist = graft.plans.GroupedTopK
+        .topK(
+          coded
+            .select(col("vec_id").as("neighbor_id"), col("lo"), col("hi"))
+            .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+            .withColumn("hamming", expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)")),
+          Seq("query_id"),
+          Seq(col("hamming").asc, col("neighbor_id").asc),
+          k = 50
+        )
+        .select(col("query_id"), col("neighbor_id"), col("hamming"))
+      val qv = vecs(s, dir)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      shortlist
+        .join(
+          vecs(s, dir).select(col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn")),
+          Seq("neighbor_id")
+        )
+        .join(broadcast(qv), Seq("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(
+          col("query_id"),
+          col("neighbor_id"),
+          col("hamming"),
+          round(col("cos"), 6).as("cosine"),
+          col("rank").cast("int").as("rank")
+        )
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1451,6 +1517,35 @@ object EmbeddingQueries {
          |        AND a.old_half = 1 AND b.old_half = 0)
          |SELECT label, min(n_old) AS n_old, min(n_new) AS n_new,
          |  CAST(sum(d_q) AS BIGINT) AS l1_drift_q, max(d_q) AS max_dim_drift_q
-         |FROM j GROUP BY label ORDER BY label""".stripMargin
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    // codes as two 32-bit halves (bit 63 would overflow DuckDB's BIGINT
+    // shift where Spark wraps — see the Spark-side scaladoc)
+    "e_binary_topk" ->
+      s"""$vecsCte,
+         |codes AS (SELECT vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CASE WHEN v[j + 1] > CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << j)
+         |            ELSE CAST(0 AS BIGINT) END for j in range(0, 32)]),
+         |      (a, b) -> a + b) AS lo,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CASE WHEN v[j + 33] > CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << j)
+         |            ELSE CAST(0 AS BIGINT) END for j in range(0, 32)]),
+         |      (a, b) -> a + b) AS hi
+         |  FROM n),
+         |ham AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    CAST(bit_count(xor(c.lo, q.lo)) + bit_count(xor(c.hi, q.hi)) AS INT) AS hamming
+         |  FROM codes q JOIN codes c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |short AS (SELECT query_id, neighbor_id, hamming FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY hamming, neighbor_id) AS hr FROM ham) WHERE hr <= 50),
+         |rr AS (SELECT s.query_id, s.neighbor_id, s.hamming,
+         |    ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |  FROM short s JOIN n c ON c.vec_id = s.neighbor_id
+         |  JOIN n q ON q.vec_id = s.query_id),
+         |r AS (SELECT query_id, neighbor_id, hamming, cos,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, hamming, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }

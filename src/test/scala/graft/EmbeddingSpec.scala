@@ -349,4 +349,38 @@ class EmbeddingSpec extends SparkSpecBase {
       scores.drop(1).zip(scores.drop(2)).foreach { case (a, b) => assert(a >= b) }
     }
   }
+
+  test("binary top-10: well-formed, rides GroupedTopK, recall well above chance") {
+    val df = EmbeddingQueries.queries("e_binary_topk")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK"), s"shortlist does not ride GroupedTopKExec:\n$plan")
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.sorted.toSeq == (0L until 10L))
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      rs.foreach { r =>
+        val h = r.getAs[Int]("hamming")
+        assert(h >= 0 && h <= 64)
+      }
+    }
+    // recall vs the exact float top-10: a random 50-of-corpus shortlist
+    // would land ~2.5% at sf0.001; sign-bit Hamming measures ~61%
+    val exact = EmbeddingQueries
+      .queries("e_bruteforce_topk")(spark, Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+      .toMap
+    val got = rows
+      .groupBy(_.getAs[Long]("query_id"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet)
+      .toMap
+    val recalls = exact.map { case (q, ex) => (got(q) & ex).size.toDouble / ex.size }
+    assert(recalls.sum / recalls.size >= 0.4,
+      s"mean recall ${recalls.sum / recalls.size} below 0.4")
+  }
 }
