@@ -647,6 +647,51 @@ object LakehouseQueries {
           sum(col("n_rows")).as("rows_total")
         )
         .orderBy(col("part_month"))
+    }),
+
+    // VACUUM planner — the retention half of table maintenance, over the
+    // same simulated transaction log as `o_time_travel_log` (file live
+    // range = [v_add, v_rm)): with current version 39 and a retention
+    // horizon keeping versions ≥ 30 time-travelable, a file is
+    // reclaimable iff NO retained snapshot references it — i.e. its
+    // removal version is ≤ the horizon (files never re-appear once
+    // removed; v_rm null = still live). The report partitions the log
+    // into live-at-head / time-travel-only / vacuumable and prices the
+    // reclaim (bytes + id checksum, so the driver can verify the exact
+    // delete set without materializing it).
+    //
+    // Scale: one scan, one aggregate — the interval predicate is a pure
+    // per-row projection and only the O(1) audit row crosses the
+    // exchange. At a real table this runs on the manifest/log, which is
+    // ~1e-5 the data size; nothing here touches data files at all.
+    "o_vacuum_plan" -> ((s, dir) => {
+      val horizon = 30L
+      val head = 39L
+      val log = table(s, dir, "orders").select(
+        col("o_orderkey").as("file_id"),
+        (col("o_orderkey") % 40).as("v_add"),
+        when(
+          col("o_orderkey") % 3 === 0,
+          (col("o_orderkey") % 40) + (col("o_orderkey") % 7) + 1L
+        ).as("v_rm"),
+        cents(col("o_totalprice")).as("bytes")
+      )
+      log
+        .select(
+          (col("v_rm").isNull || col("v_rm") > head).as("live_head"),
+          (col("v_rm").isNotNull && col("v_rm") <= horizon).as("vacuumable"),
+          col("file_id"),
+          col("bytes")
+        )
+        .agg(
+          count(lit(1)).as("n_files_total"),
+          sum(when(col("live_head"), 1L).otherwise(0L)).as("n_live_head"),
+          sum(when(!col("live_head") && !col("vacuumable"), 1L).otherwise(0L))
+            .as("n_time_travel_only"),
+          sum(when(col("vacuumable"), 1L).otherwise(0L)).as("n_vacuumable"),
+          sum(when(col("vacuumable"), col("bytes")).otherwise(0L)).as("bytes_reclaimed"),
+          sum(when(col("vacuumable"), col("file_id")).otherwise(0L)).as("reclaim_checksum")
+        )
     })
   )
 
@@ -882,6 +927,24 @@ object LakehouseQueries {
         |  CAST(sum(CASE WHEN n_rows < 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files,
         |  CAST(count(DISTINCT cum_excl // 4096) AS BIGINT) AS n_output_files,
         |  CAST(sum(n_rows) AS BIGINT) AS rows_total
-        |FROM pl GROUP BY part_month ORDER BY part_month""".stripMargin
+        |FROM pl GROUP BY part_month ORDER BY part_month""".stripMargin,
+    "o_vacuum_plan" ->
+      s"""WITH log AS (SELECT o_orderkey AS file_id, o_orderkey % 40 AS v_add,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN (o_orderkey % 40) + (o_orderkey % 7) + 1 END AS v_rm,
+        |    ${centsSql("o_totalprice")} AS bytes
+        |  FROM orders),
+        |cls AS (SELECT file_id, bytes,
+        |    (v_rm IS NULL OR v_rm > 39) AS live_head,
+        |    (v_rm IS NOT NULL AND v_rm <= 30) AS vacuumable
+        |  FROM log)
+        |SELECT CAST(count(*) AS BIGINT) AS n_files_total,
+        |  CAST(sum(CASE WHEN live_head THEN 1 ELSE 0 END) AS BIGINT) AS n_live_head,
+        |  CAST(sum(CASE WHEN NOT live_head AND NOT vacuumable THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_time_travel_only,
+        |  CAST(sum(CASE WHEN vacuumable THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuumable,
+        |  CAST(sum(CASE WHEN vacuumable THEN bytes ELSE 0 END) AS BIGINT) AS bytes_reclaimed,
+        |  CAST(sum(CASE WHEN vacuumable THEN file_id ELSE 0 END) AS BIGINT) AS reclaim_checksum
+        |FROM cls""".stripMargin
   )
 }

@@ -310,4 +310,23 @@ class LakehouseSpec extends SparkSpecBase {
       assert(bins <= counts.length.toLong && bins <= counts.sum / 4096L + 1L)
     }
   }
+
+  test("vacuum plan: three-way partition matches a driver-side replay of the live-range rule") {
+    val row = LakehouseQueries.queries("o_vacuum_plan")(spark, Sf0001).collect().head
+    val keys = orders.select("o_orderkey").collect().map(_.getLong(0))
+    val vRm = keys.map(k => k -> (if (k % 3 == 0) Some((k % 40) + (k % 7) + 1) else None)).toMap
+    val liveHead = keys.count(k => vRm(k).forall(_ > 39)).toLong
+    val vac = keys.filter(k => vRm(k).exists(_ <= 30))
+    assert(row.getAs[Long]("n_files_total") == keys.length.toLong)
+    assert(row.getAs[Long]("n_live_head") == liveHead)
+    assert(row.getAs[Long]("n_vacuumable") == vac.length.toLong)
+    assert(
+      row.getAs[Long]("n_time_travel_only") ==
+        keys.length.toLong - liveHead - vac.length.toLong
+    )
+    assert(row.getAs[Long]("reclaim_checksum") == vac.sum)
+    // no vacuumable file may be visible in any retained snapshot (v >= 30):
+    // live range [v_add, v_rm) must end at or before the horizon
+    vac.foreach(k => assert(vRm(k).get <= 30))
+  }
 }
