@@ -341,6 +341,73 @@ object CurationQueries {
           expr("(n_pass * 1000000) div n_docs").as("pass_rate_e6")
         )
         .orderBy(col("source"))
+    }),
+
+    // Iterated BPE training (Sennrich et al. 2016, arXiv:1508.07909) —
+    // the full learn loop, not just `t_bpe_merge_step`'s first argmax:
+    // three merge rounds, each recounting adjacent-symbol pairs AFTER
+    // applying the previous merge, exactly as a tokenizer trainer does.
+    // The merge-apply is the greedy left-to-right scan as a single
+    // `aggregate` fold per word: append the current symbol, or fuse it
+    // onto the accumulator's last element when that element is lft and
+    // the symbol is rgt. (The fold IS greedy BPE: a fused token lft‖rgt
+    // can never itself equal lft — rgt is non-empty — so one pass never
+    // double-merges.) The merge pair reaches the lambda as broadcast
+    // COLUMNS via a 1-row cross join, not driver-side literals — no
+    // collect in the loop.
+    //
+    // Scale: training runs on the word-TYPE table (Heaps' law: types
+    // grow ~√tokens — at 100 TB the type table is the shuffle, and it is
+    // orders of magnitude smaller than the corpus), weighted by type
+    // counts; each round is one pair-count exchange plus a map-side
+    // apply, with the type frame checkpointed per round so lineage stays
+    // flat. Real BPE trainers have exactly this shape (count dict → pair
+    // counts → argmax → apply).
+    "t_bpe_train_merges" -> ((s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val types0 = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("wc"))
+        .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .select("wc", "syms")
+        .localCheckpoint()
+      def topPair(t: DataFrame): DataFrame = t
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("wc"),
+          explode(
+            expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS lft, element_at(syms, i + 1) AS rgt))"
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("lft"), col("rgt"))
+        .limit(1)
+        .localCheckpoint() // 1 row, two consumers (output row + next apply)
+      def applyMerge(t: DataFrame, m: DataFrame): DataFrame = t
+        .crossJoin(broadcast(m.select("lft", "rgt")))
+        .withColumn(
+          "syms",
+          expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> " +
+              "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lft AND s = rgt " +
+              "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(lft, rgt))) " +
+              "ELSE concat(acc, array(s)) END)"
+          )
+        )
+        .select("wc", "syms")
+        .localCheckpoint()
+      var t = types0
+      val merges = (1 to 3).map { r =>
+        val m = topPair(t)
+        if (r < 3) t = applyMerge(t, m)
+        m.select(lit(r.toLong).as("round"), col("lft"), col("rgt"), col("freq"))
+      }
+      merges.reduce(_ unionAll _).orderBy("round")
     })
   )
 
@@ -464,6 +531,37 @@ object CurationQueries {
          |  CAST(sum(score_e6) AS BIGINT) // count(*) AS avg_score_e6,
          |  CAST(sum(CASE WHEN score_e6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |  (CAST(sum(CASE WHEN score_e6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS pass_rate_e6
-         |FROM s2 GROUP BY source ORDER BY source""".stripMargin
+         |FROM s2 GROUP BY source ORDER BY source""".stripMargin,
+    // DuckDB's list_reduce fixes the accumulator type to the element
+    // type, so the merge-apply folds a chr(31)-joined STRING instead of
+    // a list: fusing = append rgt with no separator; the last-symbol
+    // test is an exact ends_with on separator+lft (symbols never contain
+    // the separator). Semantics are identical to the Spark array fold.
+    "t_bpe_train_merges" -> {
+      def pairs(r: Int): String =
+        s"""p$r AS (SELECT unnest(syms[1:len(syms)-1]) AS lft, unnest(syms[2:len(syms)]) AS rgt, wc
+           |       FROM s${r - 1} WHERE len(syms) >= 2),
+           |c$r AS (SELECT lft, rgt, CAST(sum(wc) AS BIGINT) AS freq FROM p$r GROUP BY 1, 2),
+           |m$r AS (SELECT lft, rgt, freq FROM c$r ORDER BY freq DESC, lft, rgt LIMIT 1)""".stripMargin
+      def applyM(r: Int): String =
+        s"""s$r AS (SELECT wc, string_split(list_reduce(list_prepend('', s${r - 1}.syms), (acc, s) ->
+           |    CASE WHEN (acc = m.lft OR ends_with(acc, chr(31) || m.lft)) AND s = m.rgt THEN acc || s
+           |         WHEN acc = '' THEN s
+           |         ELSE acc || chr(31) || s END), chr(31)) AS syms
+           |  FROM s${r - 1}, m$r m)""".stripMargin
+      s"""WITH wt AS (SELECT w, CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY w),
+         |s0 AS (SELECT wc, [w[i] for i in range(1, len(w) + 1)] AS syms FROM wt),
+         |${pairs(1)},
+         |${applyM(1)},
+         |${pairs(2)},
+         |${applyM(2)},
+         |${pairs(3)}
+         |SELECT CAST(1 AS BIGINT) AS round, lft, rgt, freq FROM m1
+         |UNION ALL SELECT CAST(2 AS BIGINT), lft, rgt, freq FROM m2
+         |UNION ALL SELECT CAST(3 AS BIGINT), lft, rgt, freq FROM m3
+         |ORDER BY round""".stripMargin
+    }
   )
 }

@@ -224,4 +224,43 @@ class CurationSpec extends SparkSpecBase {
     assert(row.getAs[Long]("avg_score_e6") == scores.sum / scores.length)
     assert(row.getAs[Long]("n_pass") == scores.count(_ >= 500000L).toLong)
   }
+
+  test("bpe training: three merge rounds match a driver-side BPE reimplementation") {
+    val words = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.nonEmpty)
+    var types: Map[Vector[String], Long] =
+      words.groupBy(w => w.map(_.toString).toVector).view.mapValues(_.length.toLong).toMap
+    def topPair: ((String, String), Long) = {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      types.foreach { case (syms, wc) =>
+        syms.zip(syms.tail).foreach(p => counts(p) += wc)
+      }
+      counts.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+    }
+    def applyMerge(l: String, r: String): Unit =
+      types = types.toSeq
+        .map { case (syms, wc) =>
+          val merged = syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+            else acc :+ s
+          }
+          merged -> wc
+        }
+        .groupBy(_._1)
+        .view
+        .mapValues(_.map(_._2).sum)
+        .toMap
+    val expected = (1 to 3).map { r =>
+      val ((l, rr), f) = topPair
+      if (r < 3) applyMerge(l, rr)
+      (r.toLong, l, rr, f)
+    }
+    val rows = CurationQueries.queries("t_bpe_train_merges")(spark, Sf0001)
+      .collect()
+      .map(x => (x.getAs[Long]("round"), x.getAs[String]("lft"), x.getAs[String]("rgt"), x.getAs[Long]("freq")))
+      .toSeq
+    assert(rows == expected)
+  }
 }
