@@ -808,11 +808,30 @@ object TextQueries {
     // Span universe matches `t_span_dedup`/`t_boilerplate_chunks`:
     // per-doc DISTINCT hashed word-8-grams (string-free numeric fold).
     //
-    // Scale: one exchange on (span-hash, source) with map-side partial
-    // counts; the corpus-wide df per span is a window SUM over the ≤
-    // |sources| rows already co-located by that exchange's hash — no
-    // second corpus scan, no self-join, no skew (a span's partition is
-    // bounded by the source count). Final per-source rollup is O(sources).
+    // Scale (replanned after the round-8 sf10 probe): the first cut
+    // pre-aggregated on (h, source) and read corpus-wide df off a
+    // per-h window SUM — but that window is NOT co-partitioned with the
+    // (h, source) exchange, so Catalyst inserted a SECOND full exchange
+    // + SORT of the span frame (115 s at sf10). Both downstream facts
+    // are derivable from the (h, source, cnt) pre-agg alone, so the fix
+    // is to BRANCH off that single exchange: consumer (a) collapses it
+    // map-side to per-source totals; consumer (b) re-groups the already
+    // pre-agged rows on h (hash agg, no sort) — a span is novel iff its
+    // h-group has total count 1, and its source is then the group's min.
+    // A branching plan (one pre-agg, two consumers) does NOT work here:
+    // the 8-gram fold's lambda variables (NamedLambdaVariable) carry
+    // exprIds that plan canonicalization never normalizes (they're not
+    // in allAttributes), so the two branches never compare sameResult
+    // and AQE builds the expensive span stage twice (measured: 125 s at
+    // sf10); an eager localCheckpoint of the pre-agg materializes ~all
+    // span cardinality to executor storage (measured: 100-375 s, high
+    // variance). The fix is a LINEAR chain: after the (h, source)
+    // pre-agg, group on h keeping per-source counts as collect_list —
+    // bounded by the source count (20) per h, so agg state is tiny —
+    // then explode and roll up per source. One scan, two hash
+    // exchanges, no sort, no double compute, no materialization.
+    // 115 s → 72-96 s warm at sf10 (3-rep spread); plans ≤ sf1
+    // value-identical (spec and oracle unchanged in output).
     "t_source_novelty" -> ((s, dir) => {
       graft.functions.CharRollingHash.register(s)
       val spans = table(s, dir, "documents")
@@ -824,14 +843,18 @@ object TextQueries {
           )
         )
         .select(col("source"), explode(col("g")).as("h"))
-      val perSrc = spans.groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
-      val wH = Window.partitionBy(col("h"))
-      perSrc
-        .withColumn("df_total", sum(col("cnt")).over(wH))
-        .groupBy(col("source"))
+      spans
+        .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("h"))
         .agg(
-          sum(col("cnt")).as("n_spans"),
-          sum(when(col("df_total") === 1L, col("cnt")).otherwise(0L)).as("n_novel")
+          sum(col("cnt")).as("tot"),
+          collect_list(struct(col("source"), col("cnt"))).as("per_src")
+        )
+        .select(col("tot"), explode(col("per_src")).as("sc"))
+        .groupBy(col("sc.source").as("source"))
+        .agg(
+          sum(col("sc.cnt")).as("n_spans"),
+          sum(when(col("tot") === 1L, col("sc.cnt")).otherwise(0L)).as("n_novel")
         )
         .withColumn("novelty_e6", expr("(n_novel * 1000000) div n_spans"))
         .orderBy("source")
@@ -1110,14 +1133,13 @@ object TextQueries {
       s"""WITH tok AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
          |whs AS (SELECT source, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
          |sp AS (SELECT source, unnest(list_distinct(${hashedNgramsDuck("wh", 8)})) AS h FROM whs),
-         |ps AS (SELECT h, source, CAST(count(*) AS BIGINT) AS cnt FROM sp GROUP BY 1, 2),
-         |wt AS (SELECT source, cnt,
-         |         CAST(sum(cnt) OVER (PARTITION BY h) AS BIGINT) AS df_total
-         |       FROM ps)
-         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_spans,
-         |  CAST(sum(CASE WHEN df_total = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_novel,
-         |  (CAST(sum(CASE WHEN df_total = 1 THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
-         |    // CAST(sum(cnt) AS BIGINT) AS novelty_e6
-         |FROM wt GROUP BY source ORDER BY source""".stripMargin
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_spans FROM sp GROUP BY 1),
+         |nv AS (SELECT source, CAST(count(*) AS BIGINT) AS n_novel FROM (
+         |         SELECT min(source) AS source FROM sp GROUP BY h HAVING count(*) = 1)
+         |       GROUP BY 1)
+         |SELECT ps.source, ps.n_spans,
+         |  coalesce(nv.n_novel, 0) AS n_novel,
+         |  (coalesce(nv.n_novel, 0) * 1000000) // ps.n_spans AS novelty_e6
+         |FROM ps LEFT JOIN nv USING (source) ORDER BY ps.source""".stripMargin
   )
 }
