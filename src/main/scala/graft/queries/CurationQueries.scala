@@ -408,6 +408,73 @@ object CurationQueries {
         m.select(lit(r.toLong).as("round"), col("lft"), col("rgt"), col("freq"))
       }
       merges.reduce(_ unionAll _).orderBy("round")
+    }),
+
+    // BPE ENCODING with the trained merges — the apply side of
+    // `t_bpe_train_merges`: re-derive the 3 greedy merges on the
+    // corpus-wide word-type table (identical training path), apply all
+    // three to every word type, then roll up per source: words, pre-BPE
+    // symbol (char) count, post-merge token count, and the compression
+    // ratio — the stat a tokenizer-budget planner reads per corpus
+    // slice. Scale shape mirrors the trainer: ALL per-word work runs on
+    // the type table (Heaps' law: ~√tokens types), and the corpus-sized
+    // side is only the per-(source, word) count frame — one shuffle,
+    // checkpointed once because it feeds both the type build and the
+    // final rollup join.
+    "t_bpe_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val perSrcW = table(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1)
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("wc_s"))
+        .localCheckpoint()
+      val types0 = perSrcW
+        .groupBy(col("w"))
+        .agg(sum(col("wc_s")).as("wc"))
+        .withColumn("syms", expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .select("w", "wc", "syms")
+        .localCheckpoint()
+      def topPair(t: DataFrame): DataFrame = t
+        .filter(size(col("syms")) >= 2)
+        .select(
+          col("wc"),
+          explode(
+            expr(
+              "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS lft, element_at(syms, i + 1) AS rgt))"
+            )
+          ).as("p")
+        )
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("lft"), col("rgt"))
+        .limit(1)
+        .localCheckpoint()
+      def applyMerge(t: DataFrame, m: DataFrame): DataFrame = t
+        .crossJoin(broadcast(m.select("lft", "rgt")))
+        .withColumn(
+          "syms",
+          expr(
+            "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> " +
+              "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = lft AND s = rgt " +
+              "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(lft, rgt))) " +
+              "ELSE concat(acc, array(s)) END)"
+          )
+        )
+        .select("w", "wc", "syms")
+        .localCheckpoint()
+      var t = types0
+      (1 to 3).foreach { _ => t = applyMerge(t, topPair(t)) }
+      perSrcW
+        .join(t.select(col("w"), size(col("syms")).cast("long").as("n_tok")), Seq("w"))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("wc_s")).as("n_words"),
+          sum(col("wc_s") * length(col("w"))).as("chars_total"),
+          sum(col("wc_s") * col("n_tok")).as("tokens_total")
+        )
+        .withColumn("compression_e6", expr("(tokens_total * 1000000) div chars_total"))
+        .orderBy("source")
     })
   )
 
@@ -562,6 +629,40 @@ object CurationQueries {
          |UNION ALL SELECT CAST(2 AS BIGINT), lft, rgt, freq FROM m2
          |UNION ALL SELECT CAST(3 AS BIGINT), lft, rgt, freq FROM m3
          |ORDER BY round""".stripMargin
+    },
+    // Encode: the same 3-round trainer CTEs (with the word carried
+    // through the fold) + a per-(source, word) rollup.
+    "t_bpe_encode" -> {
+      def pairs(r: Int): String =
+        s"""p$r AS (SELECT unnest(syms[1:len(syms)-1]) AS lft, unnest(syms[2:len(syms)]) AS rgt, wc
+           |       FROM s${r - 1} WHERE len(syms) >= 2),
+           |c$r AS (SELECT lft, rgt, CAST(sum(wc) AS BIGINT) AS freq FROM p$r GROUP BY 1, 2),
+           |m$r AS (SELECT lft, rgt, freq FROM c$r ORDER BY freq DESC, lft, rgt LIMIT 1)""".stripMargin
+      def applyM(r: Int): String =
+        s"""s$r AS (SELECT w, wc, string_split(list_reduce(list_prepend('', s${r - 1}.syms), (acc, s) ->
+           |    CASE WHEN (acc = m.lft OR ends_with(acc, chr(31) || m.lft)) AND s = m.rgt THEN acc || s
+           |         WHEN acc = '' THEN s
+           |         ELSE acc || chr(31) || s END), chr(31)) AS syms
+           |  FROM s${r - 1}, m$r m)""".stripMargin
+      s"""WITH wsrc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS wc_s
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) >= 1 GROUP BY 1, 2),
+         |wt AS (SELECT w, CAST(sum(wc_s) AS BIGINT) AS wc FROM wsrc GROUP BY w),
+         |s0 AS (SELECT w, wc, [w[i] for i in range(1, len(w) + 1)] AS syms FROM wt),
+         |${pairs(1)},
+         |${applyM(1)},
+         |${pairs(2)},
+         |${applyM(2)},
+         |${pairs(3)},
+         |${applyM(3)},
+         |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_tok, CAST(len(w) AS BIGINT) AS n_chars
+         |        FROM s3)
+         |SELECT source, CAST(sum(wc_s) AS BIGINT) AS n_words,
+         |  CAST(sum(wc_s * n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(wc_s * n_tok) AS BIGINT) AS tokens_total,
+         |  (CAST(sum(wc_s * n_tok) AS BIGINT) * 1000000)
+         |    // CAST(sum(wc_s * n_chars) AS BIGINT) AS compression_e6
+         |FROM wsrc JOIN enc USING (w) GROUP BY source ORDER BY source""".stripMargin
     }
   )
 }

@@ -263,4 +263,42 @@ class CurationSpec extends SparkSpecBase {
       .toSeq
     assert(rows == expected)
   }
+
+  test("bpe encode: per-source totals match a driver-side train-then-encode replay") {
+    val docs = spark.read.parquet(s"$Sf0001/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq))
+    def fold(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    var types: Map[Vector[String], Long] = docs.flatMap(_._2)
+      .groupBy(w => w.map(_.toString).toVector).view.mapValues(_.length.toLong).toMap
+    val merges = (1 to 3).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      types.foreach { case (syms, wc) => syms.zip(syms.tail).foreach(p => counts(p) += wc) }
+      val (l, r) = counts.toSeq.minBy { case ((l, r), f) => (-f, l, r) }._1
+      types = types.toSeq.map { case (sy, wc) => fold(sy, l, r) -> wc }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (l, r)
+    }
+    def encode(w: String): Long =
+      merges.foldLeft(w.map(_.toString).toVector) { case (sy, (l, r)) => fold(sy, l, r) }.size.toLong
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ws = ds.flatMap(_._2)
+      src -> ((ws.size.toLong, ws.map(_.length.toLong).sum, ws.map(encode).sum))
+    }
+    val rows = CurationQueries.queries("t_bpe_encode")(spark, Sf0001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nw, ch, tk) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_words") == nw)
+      assert(r.getAs[Long]("chars_total") == ch)
+      assert(r.getAs[Long]("tokens_total") == tk)
+      assert(r.getAs[Long]("compression_e6") == tk * 1000000L / ch)
+      // merges compress: token count strictly below char count on this corpus
+      assert(tk < ch)
+    }
+  }
 }
