@@ -970,8 +970,13 @@ object EmbeddingQueries {
     // all-pairs a/b is O(n²) per cell; the centroid form (Rousseeuw's
     // "simplified silhouette") is the standard large-corpus surrogate —
     // one n×k pass, the same cost as the assignment itself. Per-vector
-    // state is the top-2 of k ≈ √n centroid scores via a bounded
-    // collect_list argmax (no corpus-wide window sort).
+    // top-2 rides the GroupedTopK operator (bounded map-side heaps):
+    // the broadcast join emits each vector's k centroid rows
+    // consecutively, so the partial heap holds 2 rows per live key and
+    // the exchange carries 2n rows — the round-8 sf10 probe caught the
+    // previous collect_list+array_sort form buffering the full n×k in
+    // agg state (198 s at sf10; the heap form removes the n·k·log k
+    // sort and the n×k hash-agg buffers).
     "e_centroid_silhouette" -> ((s, dir) => {
       val all = vecs(s, dir)
       val nVec = cachedRowCount(s, dir, "embeddings")
@@ -979,21 +984,22 @@ object EmbeddingQueries {
       val cent = all
         .filter(col("vec_id") % seedMod === 0)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-      all
+      val scored = all
         .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
         .crossJoin(broadcast(cent))
         .withColumn("cos", cosCol)
+        .select(col("vec_id"), col("cid"), col("cos"))
+      graft.plans.GroupedTopK
+        .topK(scored, Seq("vec_id"), Seq(col("cos").desc, col("cid").asc), 2)
         .groupBy(col("vec_id"))
         .agg(
-          slice(
-            reverse(array_sort(collect_list(struct(col("cos"), (-col("cid")).as("negcid"))))),
-            1, 2
-          ).as("t2")
+          max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m1"),
+          min(struct(col("cos"), (-col("cid")).as("negcid"))).as("m2")
         )
         .select(
-          (-col("t2")(0)("negcid")).as("cid"),
-          col("t2")(0)("cos").as("c1"),
-          col("t2")(1)("cos").as("c2")
+          (-col("m1.negcid")).as("cid"),
+          col("m1.cos").as("c1"),
+          col("m2.cos").as("c2")
         )
         .groupBy(col("cid"))
         .agg(

@@ -870,43 +870,70 @@ object TextQueries {
     // (doc_id % 50 = 0); every other doc is the raw pool being scored.
     // Output: the 20 most target-like raw docs — the selection front a
     // curation recipe resamples from.
-    // Scale: the per-doc bucket-count frame is the one corpus-sized
-    // artifact; it feeds the model build AND the scoring join, so it is
-    // localCheckpoint-ed once (the multi-consumer recompute trap
-    // DedupQueries.hashedSets documents). The model itself collapses to
-    // 4096 rows — broadcast — and scoring is a map-side join + one
-    // top-20. At 100 TB: one shuffle on (doc_id, b), one broadcast.
+    // Scale: the model pass aggregates the RAW exploded feature stream
+    // straight to its 4096 buckets (map-side combine collapses each task
+    // to ≤4096 rows — integer counts, so skipping a per-doc pre-agg is
+    // exact); the model is then pivoted into ONE 4096-slot lr array and
+    // broadcast, and scoring is a pure per-row fold over each document's
+    // feature hashes (O(1) array index per occurrence, document order —
+    // deterministic) feeding a TakeOrdered top-20. No corpus-sized
+    // shuffle, explode, or materialization anywhere on the scoring side.
+    // The round-8 sf10 probe caught the two previous shapes: a
+    // per-(doc, b) localCheckpoint (248 s to pin a corpus-sized
+    // intermediate a 100 TB corpus cannot pin at all), and its
+    // recompute-twice replacement (298 s — the (doc, b) shuffle itself
+    // was the cost, not the checkpoint).
     "t_dsir_importance" -> ((s, dir) => {
       graft.functions.CharRollingHash.register(s)
-      val feats = table(s, dir, "documents")
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-        .withColumn("wh", expr("transform(ws, w -> char_rolling_hash(w))"))
-        .withColumn("fs", expr(s"concat(wh, ${hashedNgramsSpark("wh", 2)})"))
-        .select(col("doc_id"), col("source"), explode(col("fs")).as("h"))
+      // The word-hash array is LET-BOUND as a lambda variable (the
+      // array(...) + flatten(transform(...)) idiom from t_ngram features
+      // above): a plain withColumn("wh", ...) gets inlined by projection
+      // collapse into EVERY bigram window reference, re-hashing the whole
+      // document once per window — the quadratic-per-doc blowup behind
+      // both prior sf10 timings of this query (248 s / 252 s; let-bound
+      // it is one hash per token).
+      def withFeatures(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+        .withColumn(
+          "fs",
+          expr(s"flatten(transform(array(transform(split(text, ' '), w -> char_rolling_hash(w))), " +
+            s"wh -> concat(wh, ${hashedNgramsSpark("wh", 2)})))")
+        )
+      val model = withFeatures(table(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), explode(col("fs")).as("h"))
         .withColumn("b", expr("((h % 4096) + 4096) % 4096"))
-        .groupBy(col("doc_id"), col("source"), col("b"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val model = feats
         .groupBy(col("b"))
         .agg(
-          sum(when(col("doc_id") % 50 === 0, col("c")).otherwise(0L)).as("ct"),
-          sum(when(col("doc_id") % 50 =!= 0, col("c")).otherwise(0L)).as("cr")
+          sum(when(col("doc_id") % 50 === 0, 1L).otherwise(0L)).as("ct"),
+          sum(when(col("doc_id") % 50 =!= 0, 1L).otherwise(0L)).as("cr")
         )
       val totals = model.agg(sum("ct").as("nt"), sum("cr").as("nr"))
-      val lr = model
+      // b → lr, pivoted to a dense 4096-double array (buckets absent from
+      // the corpus keep lr = 0; they are never referenced by an occurrence
+      // anyway, since every occurring bucket has ct + cr ≥ 1).
+      val lrArr = model
         .crossJoin(broadcast(totals))
         .withColumn(
           "lr",
           expr("ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) - " +
             "ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))")
         )
-        .select(col("b"), col("lr"))
-      feats
-        .filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(lr), Seq("b"))
-        .groupBy(col("doc_id"), col("source"))
-        .agg(round(sum(col("c").cast("double") * col("lr")), 6).as("dsir_logw"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("lr")))).as("m"))
+        .select(expr(
+          "transform(sequence(0, 4095), i -> coalesce(element_at(m, CAST(i AS BIGINT)), CAST(0 AS DOUBLE)))"
+        ).as("lrarr"))
+      withFeatures(
+        table(s, dir, "documents")
+          .filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), col("source"), col("text"))
+      )
+        .crossJoin(broadcast(lrArr))
+        .select(
+          col("doc_id"), col("source"),
+          round(expr(
+            "aggregate(fs, CAST(0 AS DOUBLE), " +
+              "(acc, h) -> acc + lrarr[CAST(((h % 4096) + 4096) % 4096 AS INT)])"
+          ), 6).as("dsir_logw")
+        )
         .orderBy(col("dsir_logw").desc, col("doc_id"))
         .limit(20)
     })
@@ -1199,18 +1226,16 @@ object TextQueries {
          |whs AS (SELECT doc_id, source, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
          |fe AS (SELECT doc_id, source,
          |         unnest(list_concat(wh, ${hashedNgramsDuck("wh", 2)})) AS h FROM whs),
-         |fb AS (SELECT doc_id, source, ((h % 4096) + 4096) % 4096 AS b,
-         |         CAST(count(*) AS BIGINT) AS c
-         |       FROM fe GROUP BY ALL),
+         |fb AS (SELECT doc_id, source, ((h % 4096) + 4096) % 4096 AS b FROM fe),
          |m AS (SELECT b,
-         |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN c ELSE 0 END) AS BIGINT) AS ct,
-         |        CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN c ELSE 0 END) AS BIGINT) AS cr
+         |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |        CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
          |      FROM fb GROUP BY b),
          |t AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM m),
          |lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
          |             - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) AS lr
          |       FROM m CROSS JOIN t),
-         |w AS (SELECT doc_id, source, round(sum(CAST(c AS DOUBLE) * lr), 6) AS dsir_logw
+         |w AS (SELECT doc_id, source, round(sum(lr), 6) AS dsir_logw
          |      FROM fb JOIN lr USING (b) WHERE doc_id % 50 <> 0 GROUP BY doc_id, source)
          |SELECT doc_id, source, dsir_logw FROM w
          |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin
