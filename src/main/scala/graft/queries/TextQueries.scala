@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, hashedNgramsDuck, hashedNgramsSpark}
+import graft.functions.TextFeatures.{charHashDuck, charHashSpark, hashedNgramsDuck, hashedNgramsSpark, minhashA, minhashB}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -936,6 +936,92 @@ object TextQueries {
         )
         .orderBy(col("dsir_logw").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Count-min sketch (Cormode & Muthukrishnan 2005) — the canonical
+    // mergeable frequency sketch, next to the suite's HLL, theta, KLL
+    // and frequent-items sketches: depth 4 × width 1024, rows keyed by
+    // the first 4 MinHash affine functions (independent-random family —
+    // the ramp-correlation trap TextFeatures documents applies to CMS
+    // rows too). Built from the word-TYPE table (Heaps' law keeps types
+    // ~√ of token volume), each type adding its exact count to one cell
+    // per row; estimate(w) = min_i cms[i][h_i(w)] ≥ true count, with
+    // overestimation ≤ e·N/1024 at 1 − (1/e)^4 confidence. Output: the
+    // exact top-20 words with their CMS estimates and the realized
+    // overestimate — all-integer, so the mirror hash-matches.
+    // Scale: sketch state is a FIXED 4096 cells merged by cell-wise sum
+    // (the same partial-agg shape as the HLL rollup — each task sketches
+    // its split, the exchange carries ≤4096 rows per task); the only
+    // corpus-sized exchange is the word-type groupBy, and the estimate
+    // probe is a 80-row join against the broadcast sketch.
+    "t_cms_frequency" -> ((s, dir) => {
+      val aLit = minhashA.take(4).mkString("array(", "L, ", "L)")
+      val bLit = minhashB.take(4).mkString("array(", "L, ", "L)")
+      val P = graft.functions.TextFeatures.P
+      def cellsOf(wh: String) =
+        s"explode(transform(sequence(0, 3), i -> named_struct('i', i, " +
+          s"'b', ((element_at($aLit, i + 1) * $wh + element_at($bLit, i + 1)) % $P) % 1024)))"
+      val types = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .withColumn("wh", expr(charHashSpark("w")))
+      val cms = types
+        .select(expr(cellsOf("wh")).as("cell"), col("n_occurrences"))
+        .groupBy(col("cell.i").as("i"), col("cell.b").as("b"))
+        .agg(sum(col("n_occurrences")).as("cnt"))
+      types
+        .orderBy(col("n_occurrences").desc, col("w"))
+        .limit(20)
+        .select(col("w"), col("n_occurrences"), expr(cellsOf("wh")).as("cell"))
+        .select(col("w"), col("n_occurrences"), col("cell.i").as("i"), col("cell.b").as("b"))
+        .join(broadcast(cms), Seq("i", "b"))
+        .groupBy(col("w"), col("n_occurrences"))
+        .agg(min(col("cnt")).as("cms_estimate"))
+        .select(
+          col("w"), col("n_occurrences"), col("cms_estimate"),
+          (col("cms_estimate") - col("n_occurrences")).as("overestimate")
+        )
+        .orderBy(col("n_occurrences").desc, col("w"))
+    }),
+
+    // Zipf's-law fit of the corpus frequency profile — the one-row
+    // distribution diagnostic a curation pipeline logs per snapshot
+    // (a slope drifting from ≈ −1 flags template/boilerplate mass or
+    // vocabulary collapse): OLS of ln(freq) on ln(rank) over the top
+    // 1000 word types, reporting slope, intercept and r². Scale: one
+    // word-type shuffle, a TakeOrdered top-1000 (never a global sort),
+    // and the fit runs on a 1000-row frame whose size is independent of
+    // corpus scale — the single-partition window is bounded by
+    // construction.
+    "t_zipf_fit" -> ((s, dir) => {
+      val ranked = table(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(1000)
+        .withColumn("rnk", row_number().over(Window.orderBy(col("c").desc, col("w"))))
+        .select(
+          expr("ln(CAST(rnk AS DOUBLE))").as("x"),
+          expr("ln(CAST(c AS DOUBLE))").as("y")
+        )
+      ranked
+        .agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy")
+        )
+        .select(
+          col("n").as("n_types_fit"),
+          round(expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)"), 6).as("zipf_slope"),
+          round(
+            expr("(sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n"), 6
+          ).as("zipf_intercept"),
+          round(
+            expr("pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))"), 6
+          ).as("r2")
+        )
     })
   )
 
@@ -1238,6 +1324,45 @@ object TextQueries {
          |w AS (SELECT doc_id, source, round(sum(lr), 6) AS dsir_logw
          |      FROM fb JOIN lr USING (b) WHERE doc_id % 50 <> 0 GROUP BY doc_id, source)
          |SELECT doc_id, source, dsir_logw FROM w
-         |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin,
+
+    "t_cms_frequency" -> {
+      val aList = minhashA.take(4).mkString("[", ", ", "]")
+      val bList = minhashB.take(4).mkString("[", ", ", "]")
+      val p = graft.functions.TextFeatures.P
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |ty AS (SELECT w, CAST(count(*) AS BIGINT) AS n_occurrences FROM w GROUP BY w),
+         |tyh AS (SELECT w, n_occurrences, ${charHashDuck("w")} AS wh FROM ty),
+         |ix AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |cells AS (SELECT i, ((($aList)[i + 1] * wh + ($bList)[i + 1]) % $p) % 1024 AS b,
+         |                 n_occurrences
+         |          FROM tyh CROSS JOIN ix),
+         |cms AS (SELECT i, b, CAST(sum(n_occurrences) AS BIGINT) AS cnt
+         |        FROM cells GROUP BY i, b),
+         |cand AS (SELECT w, n_occurrences, wh FROM tyh
+         |         ORDER BY n_occurrences DESC, w LIMIT 20),
+         |cc AS (SELECT w, n_occurrences, i,
+         |              ((($aList)[i + 1] * wh + ($bList)[i + 1]) % $p) % 1024 AS b
+         |       FROM cand CROSS JOIN ix),
+         |est AS (SELECT w, n_occurrences, min(cnt) AS cms_estimate
+         |        FROM cc JOIN cms USING (i, b) GROUP BY w, n_occurrences)
+         |SELECT w, n_occurrences, cms_estimate,
+         |       cms_estimate - n_occurrences AS overestimate
+         |FROM est ORDER BY n_occurrences DESC, w""".stripMargin
+    },
+
+    "t_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |ty AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY w
+        |       ORDER BY c DESC, w LIMIT 1000),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE)) AS x,
+        |             ln(CAST(c AS DOUBLE)) AS y FROM ty),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM r)
+        |SELECT n AS n_types_fit,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS zipf_intercept,
+        |  round(pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM a""".stripMargin
   )
 }

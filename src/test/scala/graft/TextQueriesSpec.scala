@@ -243,4 +243,48 @@ class TextQueriesSpec extends SparkSpecBase {
     // >= the pool median (sanity that ordering wasn't inverted)
     assert(ws.head > ws.last || ws.distinct.length == 1)
   }
+
+  test("CMS: estimate >= exact for every probed word (one-sided error), bounded overestimate") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.queries("t_cms_frequency")(spark, Sf0001).collect()
+    assert(rows.length == 20)
+    // the CMS never underestimates — its one defining guarantee
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_estimate") >= r.getAs[Long]("n_occurrences"))
+      assert(r.getAs[Long]("overestimate") ==
+        r.getAs[Long]("cms_estimate") - r.getAs[Long]("n_occurrences"))
+    }
+    // Markov bound per row: E[over] <= N/1024, and min over 4 independent
+    // rows makes a 40x blowout astronomically unlikely — use it as a
+    // generous sanity ceiling rather than a tight probabilistic claim
+    val nTotal = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")))
+      .count()
+    rows.foreach(r => assert(r.getAs[Long]("overestimate") <= 40L * nTotal / 1024L))
+    // probed words are exactly the exact top-20 (count desc, word asc)
+    val exact = spark.read
+      .parquet(s"$Sf0001/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[String]("w"), r.getAs[Long]("n")))
+      .sortBy { case (w, n) => (-n, w) }.take(20)
+    assert(rows.map(r => (r.getAs[String]("w"), r.getAs[Long]("n_occurrences"))).toSeq == exact.toSeq)
+  }
+
+  test("Zipf fit: slope negative, r2 in (0, 1], intercept recovers ln(top frequency) scale") {
+    val r = TextQueries.queries("t_zipf_fit")(spark, Sf0001).collect().head
+    val slope = r.getAs[Double]("zipf_slope")
+    val r2 = r.getAs[Double]("r2")
+    // sf0.001's synthetic corpus has only ~31 word types; the 1000 cap
+    // binds at bench scales
+    assert(r.getAs[Long]("n_types_fit") > 10)
+    assert(slope < 0.0) // frequency decreases with rank, always
+    assert(r2 > 0.0 && r2 <= 1.0)
+    // at rank 1, ln(freq) ~ intercept: within a broad band of the true top count
+    val topLn = math.log(
+      TextQueries.queries("t_cms_frequency")(spark, Sf0001)
+        .collect().head.getAs[Long]("n_occurrences").toDouble)
+    assert(math.abs(r.getAs[Double]("zipf_intercept") - topLn) < 0.5 * topLn)
+  }
 }
