@@ -308,8 +308,11 @@ object CurationQueries {
     // buckets (Knuth multiplicative hash; a real deployment broadcasts
     // the trained vector, same plan shape) — so the oracle reproduces
     // scores bit-for-bit. score_e6 = Σ_tokens w(b(token)) · 1e6 div
-    // (dl · 2000) ∈ [0, 1e6]; numerator stays under 2^63 to dl ~ 4.5e9
-    // tokens/doc (far past any real document).
+    // (dl · 2000) ∈ [0, 1e6]. Overflow analysis: the BIGINT numerator
+    // sum_w·1e6 stays under 2^63 to dl ~ 4.6e9 tokens/doc, and the
+    // divisor is forced to BIGINT (CAST below) so it cannot wrap —
+    // size() returns INT, and INT·2000 would silently wrap (non-ANSI
+    // Spark) at dl ~ 1.07e6 tokens, far BELOW the numerator's bound.
     //
     // Scale: the entire feature-hash + weight-lookup + per-doc fold is
     // ONE codegen'd projection (aggregate/transform lambdas over the
@@ -326,7 +329,7 @@ object CurationQueries {
             "aggregate(transform(ws, w -> ((char_rolling_hash(w) % 4096) * 2654435761) % 1000000007 % 2001), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
           )
         )
-        .withColumn("score_e6", expr("(sum_w * 1000000) div (size(ws) * 2000)"))
+        .withColumn("score_e6", expr("(sum_w * 1000000) div (CAST(size(ws) AS BIGINT) * 2000)"))
         .groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),

@@ -934,30 +934,51 @@ object EmbeddingQueries {
     // each retriever's top-20. All-integer scoring (1e6 div (60+rank)),
     // so the fused ranking is associativity/partitioning-independent and
     // reproduces bit-exactly in the mirror. Absent-from-a-list ranks
-    // surface as 0 (not NULL) so the output is typed-stable. Scale: both
-    // inputs are broadcast-query single-pass retrievers (or their IVF
-    // equivalents at index scale); the fusion itself joins two ≤ 20-row
-    // lists per query — O(queries), never corpus-bound.
+    // surface as 0 (not NULL) so the output is typed-stable. Scale: the
+    // two retrievers are computed in ONE corpus pass — the int8 vector is
+    // a projection of the same row the float cosine reads, so both scores
+    // come out of a single broadcast-query scan, and both rank windows
+    // share one hash(query_id) exchange (two sorts, zero extra scans —
+    // the round-8 two-independent-retriever form paid the corpus scan
+    // and the per-row 64-dim arithmetic twice, 18 s at sf10). A row
+    // ranked > 20 by a retriever is absent from that retriever's list
+    // (contributes 0), exactly the prior full-outer-join semantics.
     "e_rrf_fusion" -> ((s, dir) => {
-      val r1 = bruteforceTopK(s, dir, 20)
-        .select(col("query_id"), col("neighbor_id"), col("rank").as("r_float"))
-      val r2 = int8TopK(s, dir, 20)
-        .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("r_int8"))
+      val all = vecs(s, dir)
+      val q = all
+        .filter(col("vec_id") < 10)
+        .select(
+          col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+          expr("transform(v, x -> CAST(round(x / sqrt(nrm) * 127) AS BIGINT))").as("qq")
+        )
+      val c = all.select(
+        col("vec_id").as("neighbor_id"), col("v").as("cv"), col("nrm").as("cn"),
+        expr("transform(v, x -> CAST(round(x / sqrt(nrm) * 127) AS BIGINT))").as("cq")
+      )
+      val wFloat = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+      val wInt8 = Window.partitionBy(col("query_id")).orderBy(col("qdot").desc, col("neighbor_id"))
       val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_e6").desc, col("neighbor_id"))
-      r1
-        .join(r2, Seq("query_id", "neighbor_id"), "full_outer")
+      c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos", cosCol)
+        .withColumn(
+          "qdot",
+          expr("aggregate(zip_with(qq, cq, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        )
+        .withColumn("r_float", row_number().over(wFloat))
+        .withColumn("r_int8", row_number().over(wInt8))
+        .filter(col("r_float") <= 20 || col("r_int8") <= 20)
         .withColumn(
           "rrf_e6",
-          coalesce(expr("1000000L div (60 + r_float)"), lit(0L)) +
-            coalesce(expr("1000000L div (60 + r_int8)"), lit(0L))
+          expr("CASE WHEN r_float <= 20 THEN 1000000L div (60 + r_float) ELSE 0L END") +
+            expr("CASE WHEN r_int8 <= 20 THEN 1000000L div (60 + r_int8) ELSE 0L END")
         )
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(
           col("query_id"), col("neighbor_id"), col("rrf_e6"),
           col("rank").cast("int").as("rank"),
-          coalesce(col("r_float"), lit(0)).as("rank_float"),
-          coalesce(col("r_int8"), lit(0)).as("rank_int8")
+          expr("CASE WHEN r_float <= 20 THEN r_float ELSE 0 END").as("rank_float"),
+          expr("CASE WHEN r_int8 <= 20 THEN CAST(r_int8 AS INT) ELSE 0 END").as("rank_int8")
         )
         .orderBy("query_id", "rank")
     }),

@@ -667,9 +667,12 @@ object LakehouseQueries {
     "o_vacuum_plan" -> ((s, dir) => {
       val horizon = 30L
       val head = 39L
+      // Classification depends ONLY on the removal version: files never
+      // re-appear once removed, so live-at-head and vacuumable are both
+      // pure predicates on v_rm — the add version (which o_time_travel_log
+      // needs for point-in-time replay) is deliberately not projected.
       val log = table(s, dir, "orders").select(
         col("o_orderkey").as("file_id"),
-        (col("o_orderkey") % 40).as("v_add"),
         when(
           col("o_orderkey") % 3 === 0,
           (col("o_orderkey") % 40) + (col("o_orderkey") % 7) + 1L
@@ -929,7 +932,7 @@ object LakehouseQueries {
         |  CAST(sum(n_rows) AS BIGINT) AS rows_total
         |FROM pl GROUP BY part_month ORDER BY part_month""".stripMargin,
     "o_vacuum_plan" ->
-      s"""WITH log AS (SELECT o_orderkey AS file_id, o_orderkey % 40 AS v_add,
+      s"""WITH log AS (SELECT o_orderkey AS file_id,
         |    CASE WHEN o_orderkey % 3 = 0
         |         THEN (o_orderkey % 40) + (o_orderkey % 7) + 1 END AS v_rm,
         |    ${centsSql("o_totalprice")} AS bytes

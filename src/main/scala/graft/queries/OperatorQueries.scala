@@ -394,57 +394,73 @@ object OperatorQueries {
     // ZORDER BY): interleaving the bits of two sort dimensions clusters
     // rows so FIXED-SIZE files get bounded min/max rectangles in BOTH
     // dims, where a single-key sort bounds one dim and leaves the other
-    // spanning the full domain. The query models 4096-row files under
-    // three layouts (arrival order / sort-by-partkey / z-order) and
-    // reports the mean per-file span of each dim — the direct proxy for
-    // the fraction of files a point predicate must read.
+    // spanning the full domain. The query models ~4096-row range-
+    // partitioned files under three layouts (arrival order /
+    // sort-by-partkey / z-order) and reports the mean per-file span of
+    // each dim — the direct proxy for the fraction of files a point
+    // predicate must read.
     //
     // The Morton interleave is pure 64-bit integer bit-math (magic-mask
     // spread, shiftleft/&/|) — codegen'd, hash-exact across engines.
-    // Scale note: row_number over a global order is a diagnostic-only
-    // formulation (one window partition); a production z-order WRITE is
-    // repartitionByRange(z) + sortWithinPartitions(z) — no global
-    // window — with this metric computed from per-file min/max stats the
-    // writer already collects. Output is 3 rows at any corpus size.
+    // Scale shape (the production formulation, registered since round 9):
+    // files are RANGE partitions of each layout's sort key — chunk =
+    // (key · m) div (domain size), m = ⌈n/4096⌉ target files — i.e. the
+    // explicit-boundary equivalent of repartitionByRange(m, key), which
+    // is exactly how the production write path lays the data out
+    // (ZOrderSpec asserts that plan). No window, no global sort: all
+    // three layouts explode from ONE scan into (layout, chunk) keys and
+    // meet a single map-side-combined groupBy — the round-8 form's three
+    // corpus-sized single-partition row_number windows (the one
+    // deliberately unpartitioned plan left in the suite, 28.6 s at sf1)
+    // are gone. Value-range files are ~row-balanced here because every
+    // chunk key is a measure-preserving map of ~uniform inputs (Morton
+    // interleave is a bijection on the grid; orderkey/partkey/suppkey
+    // are ~uniform), which is the same assumption range-partition
+    // boundary sampling relies on. The 16-bit grid caps m at 65536
+    // bykey-files (z: 2^32); a 100 TB table widens the grid, same math.
+    // Output is 3 rows at any corpus size.
     "o_zorder_layout" -> ((s, dir) => {
       import org.apache.spark.sql.Column
-      import org.apache.spark.sql.expressions.Window
       def spread(c: Column): Column = {
         val a = (c.bitwiseOR(shiftleft(c, 8))).bitwiseAND(lit(16711935L))
         val b = (a.bitwiseOR(shiftleft(a, 4))).bitwiseAND(lit(252645135L))
         val d = (b.bitwiseOR(shiftleft(b, 2))).bitwiseAND(lit(858993459L))
         (d.bitwiseOR(shiftleft(d, 1))).bitwiseAND(lit(1431655765L))
       }
+      val m = (cachedRowCount(s, dir, "lineitem") + 4095L) / 4096L
       // Dims normalized to a 16-bit grid over their TRUE domains (pure
       // integer rescale — key·65535 div max is exact in 64-bit at any
       // corpus size), so per-file spans are comparable fractions of each
       // domain; a raw `% 65536` would leave a small-domain dim spanning
       // its whole range inside every 4096-row file at low SF.
       val raw = table(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
+        col("l_orderkey").cast("long").as("ok"),
         col("l_partkey").cast("long").as("pk"),
         col("l_suppkey").cast("long").as("sk"))
-      val maxes = raw.agg(max(col("pk")).as("max_pk"), max(col("sk")).as("max_sk"))
-      val li = raw.crossJoin(broadcast(maxes))
+      val maxes = raw.agg(
+        max(col("pk")).as("max_pk"), max(col("sk")).as("max_sk"),
+        max(col("ok")).as("max_ok"))
+      raw.crossJoin(broadcast(maxes))
         .withColumn("x", expr("(pk * 65535) div max_pk"))
         .withColumn("y", expr("(sk * 65535) div max_sk"))
         .withColumn("z", spread(col("x")).bitwiseOR(shiftleft(spread(col("y")), 1)))
-      def layoutStats(name: String, order: Seq[Column]) =
-        li.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
-          .withColumn("chunk", expr("(rn - 1) div 4096"))
-          .groupBy(col("chunk"))
-          .agg(
-            (max(col("x")) - min(col("x"))).as("span_x"),
-            (max(col("y")) - min(col("y"))).as("span_y"))
-          .agg(
-            count(lit(1)).as("n_chunks"),
-            round(avg(col("span_x")), 6).as("avg_span_x"),
-            round(avg(col("span_y")), 6).as("avg_span_y"))
-          .select(lit(name).as("layout"), col("n_chunks"),
-            col("avg_span_x"), col("avg_span_y"))
-      layoutStats("1_natural", Seq(col("l_orderkey"), col("l_linenumber")))
-        .unionAll(layoutStats("2_bykey", Seq(col("x"), col("l_orderkey"), col("l_linenumber"))))
-        .unionAll(layoutStats("3_zorder", Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+        .select(
+          col("x"), col("y"),
+          explode(expr(
+            s"""array(
+               |  named_struct('layout', '1_natural', 'chunk', (ok * ${m}L) div (max_ok + 1)),
+               |  named_struct('layout', '2_bykey',  'chunk', (x * ${m}L) div 65536),
+               |  named_struct('layout', '3_zorder', 'chunk', (z * ${m}L) div 4294967296))""".stripMargin
+          )).as("lc"))
+        .groupBy(col("lc.layout").as("layout"), col("lc.chunk").as("chunk"))
+        .agg(
+          (max(col("x")) - min(col("x"))).as("span_x"),
+          (max(col("y")) - min(col("y"))).as("span_y"))
+        .groupBy(col("layout"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          round(avg(col("span_x")), 6).as("avg_span_x"),
+          round(avg(col("span_y")), 6).as("avg_span_y"))
         .orderBy("layout")
     }),
 
@@ -775,28 +791,29 @@ object OperatorQueries {
         val d = s"(($b | ($b << 2)) & 858993459)"
         s"(($d | ($d << 1)) & 1431655765)"
       }
-      def layout(name: String, order: String): String =
-        s"""SELECT '$name' AS layout, count(*) AS n_chunks,
-           |  round(avg(span_x), 6) AS avg_span_x,
-           |  round(avg(span_y), 6) AS avg_span_y
-           |FROM (SELECT chunk, max(x) - min(x) AS span_x, max(y) - min(y) AS span_y
-           |      FROM (SELECT x, y,
-           |              (row_number() OVER (ORDER BY $order) - 1) // 4096 AS chunk
-           |            FROM zt)
-           |      GROUP BY chunk)""".stripMargin
-      s"""WITH mx AS (SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk FROM lineitem),
+      // Range-partition file assignment, same explicit boundaries as the
+      // Spark side: chunk = (key · m) // domain, m = ⌈n/4096⌉ files.
+      s"""WITH nr AS (SELECT (count(*) + 4095) // 4096 AS m FROM lineitem),
+         |mx AS (SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk,
+         |              CAST(max(l_orderkey) AS BIGINT) AS max_ok FROM lineitem),
          |li AS (
-         |  SELECT l_orderkey, l_linenumber,
+         |  SELECT CAST(l_orderkey AS BIGINT) AS ok,
          |    CAST((l_partkey * 65535) // max_pk AS BIGINT) AS x,
-         |    CAST((l_suppkey * 65535) // max_sk AS BIGINT) AS y
-         |  FROM lineitem CROSS JOIN mx),
-         |zt AS (SELECT *, (${spread("x")} | (${spread("y")} << 1)) AS z FROM li)
-         |${layout("1_natural", "l_orderkey, l_linenumber")}
-         |UNION ALL
-         |${layout("2_bykey", "x, l_orderkey, l_linenumber")}
-         |UNION ALL
-         |${layout("3_zorder", "z, l_orderkey, l_linenumber")}
-         |ORDER BY layout""".stripMargin
+         |    CAST((l_suppkey * 65535) // max_sk AS BIGINT) AS y,
+         |    max_ok, m
+         |  FROM lineitem CROSS JOIN mx CROSS JOIN nr),
+         |zt AS (SELECT *, (${spread("x")} | (${spread("y")} << 1)) AS z FROM li),
+         |ch AS (SELECT x, y, unnest([
+         |    struct_pack(layout := '1_natural', chunk := (ok * m) // (max_ok + 1)),
+         |    struct_pack(layout := '2_bykey',  chunk := (x * m) // 65536),
+         |    struct_pack(layout := '3_zorder', chunk := (z * m) // 4294967296)]) AS lc
+         |  FROM zt),
+         |f AS (SELECT (lc).layout AS layout, (lc).chunk AS chunk,
+         |        max(x) - min(x) AS span_x, max(y) - min(y) AS span_y
+         |      FROM ch GROUP BY 1, 2)
+         |SELECT layout, count(*) AS n_chunks,
+         |  round(avg(span_x), 6) AS avg_span_x, round(avg(span_y), 6) AS avg_span_y
+         |FROM f GROUP BY layout ORDER BY layout""".stripMargin
     },
     "o_cdc_merge_snapshot" ->
       s"""WITH base AS (SELECT c_custkey AS key, ${centsSql("c_acctbal")} AS bal_cents,

@@ -1306,23 +1306,35 @@ object TextQueries {
          |  (coalesce(nv.n_novel, 0) * 1000000) // ps.n_spans AS novelty_e6
          |FROM ps LEFT JOIN nv USING (source) ORDER BY ps.source""".stripMargin,
     // DSIR: same 4096-bucket hashed unigram∪bigram features, add-1
-    // smoothing, identical ln-difference formula.
+    // smoothing, identical ln-difference formula. The model counts are
+    // integers (order-free hash agg is exact), but the per-doc SCORE is
+    // a double sum — the Spark side folds each document's feature list
+    // in document order against a dense 4096-slot lr array, so the
+    // mirror does the identical in-order list_reduce fold (same element
+    // order ⇒ same double — the suite's dotDuck discipline) instead of
+    // a GROUP-BY sum over the occurrence stream, whose accumulation
+    // order DuckDB's hash agg does not define.
     "t_dsir_importance" ->
       s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
          |whs AS (SELECT doc_id, source, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
-         |fe AS (SELECT doc_id, source,
-         |         unnest(list_concat(wh, ${hashedNgramsDuck("wh", 2)})) AS h FROM whs),
-         |fb AS (SELECT doc_id, source, ((h % 4096) + 4096) % 4096 AS b FROM fe),
+         |fl AS (SELECT doc_id, source, list_concat(wh, ${hashedNgramsDuck("wh", 2)}) AS fs FROM whs),
+         |fb AS (SELECT doc_id, ((unnest(fs) % 4096) + 4096) % 4096 AS b FROM fl),
          |m AS (SELECT b,
          |        CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ct,
          |        CAST(sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr
          |      FROM fb GROUP BY b),
          |t AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM m),
-         |lr AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE))
-         |             - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE)) AS lr
-         |       FROM m CROSS JOIN t),
-         |w AS (SELECT doc_id, source, round(sum(lr), 6) AS dsir_logw
-         |      FROM fb JOIN lr USING (b) WHERE doc_id % 50 <> 0 GROUP BY doc_id, source)
+         |lrf AS (SELECT r.b AS b,
+         |          CASE WHEN m.ct IS NULL THEN CAST(0 AS DOUBLE)
+         |               ELSE ln(CAST(m.ct + 1 AS DOUBLE) / CAST(t.nt + 4096 AS DOUBLE))
+         |                  - ln(CAST(m.cr + 1 AS DOUBLE) / CAST(t.nr + 4096 AS DOUBLE)) END AS lr
+         |        FROM range(4096) AS r(b) LEFT JOIN m ON m.b = r.b CROSS JOIN t),
+         |arr AS (SELECT list(lr ORDER BY b) AS a FROM lrf),
+         |w AS (SELECT doc_id, source,
+         |        round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          [a[CAST(((h % 4096) + 4096) % 4096 AS BIGINT) + 1] for h in fs]),
+         |          (acc, x) -> acc + x), 6) AS dsir_logw
+         |      FROM fl CROSS JOIN arr WHERE doc_id % 50 <> 0)
          |SELECT doc_id, source, dsir_logw FROM w
          |ORDER BY dsir_logw DESC, doc_id LIMIT 20""".stripMargin,
 

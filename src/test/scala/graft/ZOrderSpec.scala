@@ -68,10 +68,10 @@ class ZOrderSpec extends SparkSpecBase {
   }
 
   test("production z-order write path plans a rangepartitioning exchange, no global sort") {
-    // `o_zorder_layout` itself measures layout quality through a global
-    // row_number — a deliberately diagnostic formulation its scaladoc
-    // prices (exact chunk assignment, hash-matchable in DuckDB). The
-    // production WRITE recipe that scaladoc prescribes is
+    // `o_zorder_layout` assigns files by explicit value-range boundaries
+    // (chunk = key·m div domain) — the deterministic, hash-matchable
+    // equivalent of what repartitionByRange's sampled boundaries do. The
+    // production WRITE recipe its scaladoc prescribes is
     // repartitionByRange(z) + sortWithinPartitions(z): a parallel
     // per-partition sort behind a rangepartitioning exchange, never a
     // single-partition total order. Assert the recipe actually plans
