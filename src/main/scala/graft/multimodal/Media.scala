@@ -249,6 +249,96 @@ object Media {
     Mp4.synthFrames(frames, "png ", VideoWidth, VideoHeight, durMs)
   }
 
+  /** Encode a REAL w×h grayscale JPEG of the same cyclic text-byte
+    * pixels as [[grayPng]] — the JDK's lossy DCT codec ("jpg" writer),
+    * so decode returns approximately (never exactly) these values.
+    */
+  private def grayJpeg(w: Int, h: Int, bytes: Array[Byte], offset: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, bytes((offset + i) % bytes.length) & 0xff)
+        i += 1
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** MJPEG twin of [[synthVideo]]: same geometry/frame count/timeline,
+    * but genuinely LOSSY JPEG-coded frames (`jpeg` fourcc). Decoded
+    * pixels only approximate the source stream, so no oracle can
+    * hash-match them — this feeds the rows-only tolerance audit
+    * [[mjpegFrameStats]], which is how the suite exercises the lossy
+    * ImageIO frame path outside Mp4Spec (VERDICT r8 #6).
+    */
+  private[graft] def synthMjpegVideo(id: Long, textBytes: Array[Byte], durMs: Long): Array[Byte] = {
+    val frames = (0 until videoFrameCount(id)).map { k =>
+      grayJpeg(VideoWidth, VideoHeight, textBytes, k * VideoWidth * VideoHeight)
+    }
+    Mp4.synthFrames(frames, "jpeg", VideoWidth, VideoHeight, durMs)
+  }
+
+  /** Per-video lossy-frame audit over a REAL MJPEG decode: for every 4th
+    * video-modality document, encode an MJPEG MP4 (genuine JPEG frames
+    * through the JDK codec), demux it back through the `stbl` box-walk,
+    * ImageIO-decode every frame, and compare each decoded frame's mean
+    * gray level against the source byte stream's mean for that frame
+    * window. JPEG's DCT quantization preserves block averages closely,
+    * so the per-frame mean error is small even though individual pixels
+    * differ — the tolerance contract is max |decoded − source| mean
+    * ≤ 3 gray levels per frame (`within_tolerance`; MediaSpec asserts it
+    * holds corpus-wide). Rows-only by necessity: a lossy codec's exact
+    * output is implementation-defined, so no engine-independent oracle
+    * can hash-match it — same contract class as `a8_duration_sec`.
+    * Scale: one mapPartitions pass (encode→demux→decode is a true codec
+    * boundary); per-row state is one frame buffer; output is one row
+    * per video, never per frame/pixel.
+    */
+  def mjpegFrameStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 12 === 2) // every 4th video-modality row
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val wh = VideoWidth * VideoHeight
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val mp4 = synthMjpegVideo(id, bytes, 2000L + (id % 8000))
+          val info = Mp4.demux(mp4)
+          require(info.codec == "jpeg", s"expected jpeg track, got '${info.codec}'")
+          var maxErrE3 = 0L
+          info.frames.zipWithIndex.foreach { case (fb, k) =>
+            val img = ImageIO.read(new ByteArrayInputStream(fb))
+            require(img != null, s"undecodable JPEG frame ($id/$k)")
+            val samples = graySamples(img)
+            var dec = 0.0
+            samples.foreach(s => dec += s * 256.0)
+            var src = 0L
+            var i = 0
+            while (i < wh) {
+              src += bytes((k * wh + i) % bytes.length) & 0xff
+              i += 1
+            }
+            val err = math.abs(dec / wh - src.toDouble / wh)
+            maxErrE3 = math.max(maxErrE3, math.round(err * 1000))
+          }
+          (id, info.frames.length, maxErrE3, maxErrE3 <= 3000L)
+        }
+      }
+      .toDF("media_id", "n_frames", "max_mean_abs_err_e3", "within_tolerance")
+      .orderBy("media_id")
+  }
+
   /** Audio sample rate for the synthesized WAV corpus (Hz). */
   val WavSampleRate = 8000
 

@@ -90,6 +90,15 @@ object MediaQueries {
         .orderBy("keeper")
     }),
 
+    // Lossy-frame video audit — the ONE registered query whose frames go
+    // through the ImageIO JPEG decode path (the corpus's oracle-facing
+    // videos are PNG-coded so hashes stay deterministic; Mp4Spec proves
+    // the JPEG path on two frames, this runs it corpus-wide). Rows-only
+    // by necessity (lossy output is codec-implementation-defined — same
+    // contract class as a8_duration_sec); the tolerance contract
+    // (per-frame mean error ≤ 3 gray levels) is asserted in MediaSpec.
+    "m_mjpeg_frame_stats" -> ((s, dir) => graft.multimodal.Media.mjpegFrameStats(s, dir)),
+
     // Perceptual (average-hash) image near-dup: every image goes through
     // the REAL javax.imageio decode, hashes to 64 bits via the 8×8
     // global-mean grid (Media.aHash64 — pure integer threshold, so the

@@ -20,7 +20,7 @@ import graft.operators.{AsOfJoin, RangeJoin, Salting}
 object OperatorQueries {
   import Q._
 
-  private def dropManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
+  private[graft] def dropManagedTable(s: org.apache.spark.sql.SparkSession, name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val wh = s.conf.get("spark.sql.warehouse.dir")
     val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
@@ -34,7 +34,7 @@ object OperatorQueries {
     * reused stale (ADVICE r4). `toHexString` also avoids the
     * `abs(Int.MinValue) < 0` edge of the old `math.abs(hashCode)` tag.
     */
-  private def sourceTag(s: org.apache.spark.sql.SparkSession, path: String): String = {
+  private[graft] def sourceTag(s: org.apache.spark.sql.SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     var len = 0L

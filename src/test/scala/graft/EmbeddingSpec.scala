@@ -427,4 +427,118 @@ class EmbeddingSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_members") >= 1L)
     }
   }
+
+  test("0.95-boundary LSH recall: measured miss within 2x the closed-form price at 16 and 18 bits") {
+    // VERDICT r8 #2: the ~2e-4 boundary-miss figure (and tablesForBits'
+    // guarantee that grown tables hold it) previously rested on closed-
+    // form math alone — the planted corpus sits at cosine >= 0.97. Here
+    // pair mass is planted AT the 0.95 design boundary (c = 0.9502) and
+    // the miss is MEASURED. The candidate condition is pure plane
+    // geometry — pair collides iff some table's codes are within Hamming
+    // 1 (multiprobe flips every bit) — so the measurement evaluates that
+    // exact predicate locally over planesFlat, and a Spark cross-check
+    // below proves the local predicate IS neardupCandidates' condition.
+    val dims = 64
+    val nPairs = 50000
+    val c = 0.9502
+    val rnd = new scala.util.Random(777001L)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dims)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // pair = (v, c*v + sqrt(1-c^2)*u) with u a unit vector orthogonal to v
+    val pairs = Array.fill(nPairs) {
+      val v = unit()
+      val g = unit()
+      val d = v.zip(g).map { case (a, b) => a * b }.sum
+      val u0 = g.zip(v).map { case (b, a) => b - d * a }
+      val un = math.sqrt(u0.map(x => x * x).sum)
+      val u = u0.map(_ / un)
+      val w = v.zip(u).map { case (a, b) => c * a + math.sqrt(1 - c * c) * b }
+      (v, w)
+    }
+    val planesByBits: Map[Int, Array[Double]] =
+      Seq(16, 18).map(b => b -> EmbeddingQueries.planesFlat(b).toArray).toMap
+    def codes(vec: Array[Double], bits: Int): Array[Long] = {
+      val planes = planesByBits(bits)
+      val t = EmbeddingQueries.tablesForBits(bits)
+      Array.tabulate(t) { ti =>
+        var code = 0L
+        var j = 0
+        while (j < bits) {
+          val off = (ti * bits + j) * dims
+          var dot = 0.0
+          var k = 0
+          while (k < dims) { dot += vec(k) * planes(off + k); k += 1 }
+          if (dot >= 0) code |= 1L << j
+          j += 1
+        }
+        code
+      }
+    }
+    def collides(a: Array[Double], b: Array[Double], bits: Int): Boolean =
+      codes(a, bits).zip(codes(b, bits)).exists { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) <= 1
+      }
+    val p = math.acos(c) / math.Pi
+    def tableHit(b: Int): Double =
+      math.pow(1 - p, b) + b * p * math.pow(1 - p, b - 1)
+    def closedFormMiss(b: Int): Double =
+      math.pow(1 - tableHit(b), EmbeddingQueries.tablesForBits(b))
+    val miss16 = pairs.count { case (a, b) => !collides(a, b, 16) }
+    val miss18 = pairs.count { case (a, b) => !collides(a, b, 18) }
+    // measured (seed 777001, deterministic): miss16 = 8/50000 = 1.6e-4
+    // vs closed form 1.92e-4; miss18 = 7/50000 = 1.4e-4 vs 1.44e-4 —
+    // the grown 15-table configuration holds the floor's boundary
+    // recall, as tablesForBits prices.
+    assert(miss16 <= 2 * closedFormMiss(16) * nPairs,
+      s"16-bit boundary miss $miss16 > 2x closed form ${closedFormMiss(16) * nPairs}")
+    assert(miss18 <= 2 * closedFormMiss(18) * nPairs,
+      s"18-bit/T=${EmbeddingQueries.tablesForBits(18)} boundary miss $miss18 > 2x closed form ${closedFormMiss(18) * nPairs}")
+    info(s"boundary miss 16-bit: $miss16/$nPairs (closed form ${"%.1f".format(closedFormMiss(16) * nPairs)}); " +
+      s"18-bit/T=${EmbeddingQueries.tablesForBits(18)}: $miss18/$nPairs (closed form ${"%.1f".format(closedFormMiss(18) * nPairs)})")
+
+    // Spark cross-check on a 1000-pair slice: neardupCandidates' planted-
+    // pair candidacy must equal the local predicate exactly, proving the
+    // measurement above measures the engine's condition.
+    import spark.implicits._
+    graft.functions.SketchExpressions.register(spark) // vec_dot for lshBuckets
+    val slice = pairs.take(1000)
+    val cor = slice.zipWithIndex.flatMap { case ((v, w), i) =>
+      Seq((i.toLong * 2, v.toSeq), (i.toLong * 2 + 1, w.toSeq))
+    }.toSeq.toDF("vec_id", "v")
+    for (bits <- Seq(16, 18)) {
+      val cand = EmbeddingQueries
+        .neardupCandidates(cor, bits)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+        .toSet
+      slice.zipWithIndex.foreach { case ((v, w), i) =>
+        val inCand = cand.contains((i.toLong * 2, i.toLong * 2 + 1))
+        assert(inCand == collides(v, w, bits),
+          s"pair $i: engine candidacy $inCand != local predicate at $bits bits")
+      }
+    }
+  }
+
+  test("stored-index search: DPP prunes the postings scan; results equal e_ivf_topk") {
+    // e_index_search reads candidates from the cid-PARTITIONED postings
+    // table with the probe frame broadcast — Spark's dynamic partition
+    // pruning turns that into a scan of only the probed cells (the
+    // scan-level realization of the nprobe/k ANN promise). Assert the
+    // pruning subquery is actually planned, and that the stored-artifact
+    // round-trip returns exactly what the in-flight e_ivf_topk computes.
+    val df = EmbeddingQueries.queries("e_index_search")(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"postings scan is not dynamically pruned:\n$plan")
+    def rows(name: String) = EmbeddingQueries
+      .queries(name)(spark, Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank")))
+      .toSeq
+    assert(rows("e_index_search") == rows("e_ivf_topk"))
+  }
 }

@@ -170,4 +170,28 @@ class MediaSpec extends SparkSpecBase {
       .count()
     assert(md5Groups == 0L)
   }
+
+  test("mjpeg frame stats: real lossy JPEG decode corpus-wide, means within tolerance") {
+    // The rows-only contract of m_mjpeg_frame_stats, asserted here: every
+    // selected video's JPEG frames demux, ImageIO-decode, and keep their
+    // per-frame mean within 3 gray levels of the source stream (JPEG DCT
+    // quantization preserves block averages). Geometry/count invariants
+    // prove the demux read real sample tables, not metadata.
+    val rows = graft.queries.MediaQueries
+      .queries("m_mjpeg_frame_stats")(spark, Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("media_id")
+      assert(id % 12 == 2)
+      val nf = r.getAs[Int]("n_frames")
+      assert(nf == Media.videoFrameCount(id), s"frame count mismatch for $id")
+      assert(r.getAs[Boolean]("within_tolerance"),
+        s"video $id frame mean error ${r.getAs[Long]("max_mean_abs_err_e3")} > 3000 e-3 levels")
+      // lossy: at least SOME error is expected somewhere; checked corpus-
+      // wide below so a silently-lossless (i.e. wrong-codec) path fails
+    }
+    assert(rows.map(_.getAs[Long]("max_mean_abs_err_e3")).max > 0L,
+      "zero error corpus-wide: the frames did not go through a lossy codec")
+  }
 }

@@ -25,9 +25,11 @@ class PlanShapeSpec extends SparkSpecBase {
   test("every registered query has a DuckDB oracle except the documented rows-only set") {
     // the driver records a weaker rows-only check for any `queries` key
     // missing from `oracleSql` — so a typo'd oracle key would silently
-    // downgrade a query's correctness gate. Only a8_duration_sec is
-    // rows-only by design (wall-clock can't hash-match an oracle).
-    val rowsOnlyByDesign = Set("a8_duration_sec")
+    // downgrade a query's correctness gate. Rows-only by design:
+    // a8_duration_sec (wall-clock can't hash-match an oracle) and
+    // m_mjpeg_frame_stats (lossy JPEG output is codec-implementation-
+    // defined; its tolerance contract is asserted in MediaSpec instead).
+    val rowsOnlyByDesign = Set("a8_duration_sec", "m_mjpeg_frame_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries silently downgraded to rows-only: $missing")
     // and no orphan oracle for a query that doesn't exist
