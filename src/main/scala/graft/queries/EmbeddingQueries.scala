@@ -1230,10 +1230,17 @@ object EmbeddingQueries {
   /** One unrolled greedy MMR round as a DuckDB CTE pair: the remaining
     * candidates' max-sim-to-selected joins in, the round's winner is the
     * (score DESC, neighbor_id) row_number()=1 row, and `a_r` accumulates
-    * the selected set — mirroring the Spark loop round-for-round. */
+    * the selected set — mirroring the Spark loop round-for-round.
+    * MATERIALIZED is load-bearing at scale (the pagerank-mirror move):
+    * each round references its predecessor twice (msim join + NOT
+    * EXISTS), so DuckDB's default CTE inlining re-derives the corpus-
+    * sized `p`→`cand` chain exponentially many times — the sf10 sweep
+    * timed the un-pinned form out at 600 s where the pinned form
+    * clears in seconds; the hint is semantics-neutral and mirrors the
+    * Spark side's per-round localCheckpoint. */
   private def mmrStepDuck(r: Int): String = {
     val prev = s"a${r - 1}"
-    s""", s$r AS (SELECT query_id, neighbor_id, $r AS rank, score FROM (
+    s""", s$r AS MATERIALIZED (SELECT query_id, neighbor_id, $r AS rank, score FROM (
        |  SELECT c.query_id, c.neighbor_id,
        |    0.5 * c.cos - 0.5 * coalesce(m.msim, 0.0) AS score,
        |    row_number() OVER (PARTITION BY c.query_id
@@ -1246,7 +1253,7 @@ object EmbeddingQueries {
        |  WHERE NOT EXISTS (SELECT 1 FROM $prev s2
        |                    WHERE s2.query_id = c.query_id AND s2.neighbor_id = c.neighbor_id)
        |  ) WHERE rn = 1)
-       |, a$r AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
+       |, a$r AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$r)""".stripMargin
   }
 
   /** IVF(nprobe=2) candidate scoring as a CTE chain (requires the `n`
@@ -1486,14 +1493,14 @@ object EmbeddingQueries {
          |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv, c.nrm AS cn,
          |        ${cosSql("q.v", "c.v", "q.nrm", "c.nrm")} AS cos
          |      FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
-         |cand AS (SELECT query_id, neighbor_id, cv, cn, cos FROM (
+         |cand AS MATERIALIZED (SELECT query_id, neighbor_id, cv, cn, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM p) WHERE rk <= 20),
-         |pr AS (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+         |pr AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
          |         ${dotDuck("a.cv", "b.cv")} / (sqrt(a.cn) * sqrt(b.cn)) AS sim
          |       FROM cand a JOIN cand b
          |         ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id),
-         |s1 AS (SELECT query_id, neighbor_id, 1 AS rank, score FROM (
+         |s1 AS MATERIALIZED (SELECT query_id, neighbor_id, 1 AS rank, score FROM (
          |  SELECT query_id, neighbor_id, 0.5 * cos - 0.5 * 0.0 AS score,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY 0.5 * cos - 0.5 * 0.0 DESC, neighbor_id) AS rn

@@ -34,14 +34,26 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     rows = sorted(df.itertuples(index=False, name=None), key=repr)
     return pd.DataFrame(rows, columns=df.columns)
 
-def main(out_dir, sf_dir, timeout_s=None):
+def connect(sf_dir):
     con = duckdb.connect()
+    # Bound the mirror's memory and let it spill: an interrupted (timed-out)
+    # deliberately-exact n-by-k mirror otherwise balloons to the process
+    # OOM-kill line before its timer fires, taking the whole sweep batch
+    # down with it (observed round 9: b8_embed_a died after its first
+    # timeout and lost the rest of the batch's rows).
+    con.execute("SET memory_limit='24GB'")
+    os.makedirs('/tmp/duckdb_spill', exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dataset dir (GenScale sf1 corpus)
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(out_dir, sf_dir, timeout_s=None):
+    con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
@@ -68,6 +80,11 @@ def main(out_dir, sf_dir, timeout_s=None):
             if timed_out:
                 print(f"TIMEOUT {name}: oracle exceeded {timeout_s}s (deliberately-exact mirror)")
                 n_timeout += 1
+                # fresh connection: the interrupted query's operator state is
+                # torn down with the old one instead of lingering
+                try: con.close()
+                except Exception: pass
+                con = connect(sf_dir)
             else:
                 print(f"ERR   {name}: oracle SQL failed: {e}"); n_fail += 1
             continue
