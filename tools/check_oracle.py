@@ -41,9 +41,13 @@ def connect(sf_dir):
     # OOM-kill line before its timer fires, taking the whole sweep batch
     # down with it (observed round 9: b8_embed_a died after its first
     # timeout and lost the rest of the batch's rows).
-    con.execute("SET memory_limit='24GB'")
-    os.makedirs('/tmp/duckdb_spill', exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # Overridable (ADVICE r9 #4): on a host with less RAM / a small /tmp the
+    # hardcoded bound either fails to protect or fills the root partition.
+    mem = os.environ.get("ORACLE_MEM", "24GB")
+    tmp = os.environ.get("ORACLE_TMP", "/tmp/duckdb_spill")
+    con.execute(f"SET memory_limit='{mem}'")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written dataset dir (GenScale sf1 corpus)

@@ -23,14 +23,34 @@ for NAMEFILE in "$@"; do
   B="$(basename "$NAMEFILE" .txt)"
   NAMES="$(grep -v '^#' "$NAMEFILE" | tr '\n' ',' | sed 's/,$//;s/^,//')"
   [ -z "$NAMES" ] && continue
+  # Disk-headroom guard (VERDICT r9 #6): both round-9 overlap failures
+  # filled the disk INSIDE a batch that then kept running — abort the
+  # batch up front instead of corrupting a mid-flight engine run.
+  AVAIL_GB="$(df --output=avail -BG "$OUT" | tail -1 | tr -dc 0-9)"
+  if [ "$AVAIL_GB" -lt "${MIN_DISK_GB:-40}" ]; then
+    echo "ABORT batch $B: only ${AVAIL_GB}G free (< ${MIN_DISK_GB:-40}G)" \
+      | tee -a "$OUT/sweep.log"
+    continue
+  fi
   echo "=== batch $B: engine start $(date +%T) ===" | tee -a "$OUT/sweep.log"
+  # Full engine output goes to a per-batch file (ADVICE r9 #2: a JVM
+  # crash/OOM before a query writes output must leave a trace), only the
+  # [verify] lines to the shared log.
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
   java "${ADD_OPENS[@]}" "-Xmx${SPARK_DRIVER_MEM:-24g}" \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$SNAP:/opt/spark/jars/*" graft.Verify "$SF" "$OUT/$B" "$NAMES" \
-    2>&1 | grep "\[verify\]" | tee -a "$OUT/sweep.log"
+    2>&1 | tee "$OUT/$B.engine.log" | grep "\[verify\]" | tee -a "$OUT/sweep.log"
   echo "=== batch $B: oracle start $(date +%T) ===" | tee -a "$OUT/sweep.log"
   python3 tools/check_oracle.py "$OUT/$B" "$SF" "${ORACLE_CAP:-600}" \
     2>&1 | tee -a "$OUT/sweep.log"
+  # Absentee check (ADVICE r9 #2): check_oracle iterates only EXISTING
+  # output dirs, so a query that never ran is otherwise silently missing
+  # from the batch rather than reported.
+  for N in $(echo "$NAMES" | tr ',' ' '); do
+    [ -d "$OUT/$B/$N" ] || \
+      echo "ABSENT $N: no output dir (engine died before it ran? see $B.engine.log)" \
+        | tee -a "$OUT/sweep.log"
+  done
 done
 echo "=== sweep done $(date +%T) ===" | tee -a "$OUT/sweep.log"
