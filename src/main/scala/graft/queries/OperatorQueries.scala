@@ -194,32 +194,54 @@ object OperatorQueries {
         .localCheckpoint()
       val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
       val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
-      // The per-(u1,u2) pair set is inherently QUADRATIC in co-active
-      // sessions (112.1M pairs from ~955K sessions at sf1 — re-measured
-      // round 7 on the regenerated NTZ corpus; the round-5 corpus gave
-      // the same ~112M) — materializing it as the query
-      // output is the scale antipattern. The driver-visible form instead
-      // reduces the full pair set to 64 bucket rows carrying an order-free
-      // integer checksum: any wrong, missing, or duplicated pair changes
-      // n_pairs/sum_overlaps/pair_checksum, so verification power is
-      // preserved at O(1) output for ANY scale factor. The raw-pair path
-      // stays covered by RangeJoinSpec at unit scale.
+      // The overlapping-pair multiset is inherently QUADRATIC in
+      // co-active sessions (112.1M instances from ~955K sessions at sf1;
+      // ~11.2B from 9.55M sessions at sf10 — same 30-day window, 10× the
+      // users, so co-activity grows ~100×). Round 9's formulation reduced
+      // per DISTINCT (u1, u2) before the bucket checksum — which is the
+      // scale antipattern one level up: the groupBy(u1, u2) partial agg
+      // sees mostly-unique pair keys per task (its hash map overflows and
+      // falls back to sort-based aggregation, spilling ~instance-volume
+      // bytes), and its exchange then carries DISTINCT-PAIR cardinality
+      // (O(10^9..10^10) rows at sf10). Both sf10 sweep attempts died with
+      // `No space left on device` in exactly that stage (VERDICT r9 #1).
+      // The reduction is now per pair-INSTANCE straight into the 64
+      // checksum buckets: the partial aggregate above the join holds ≤64
+      // keys per task (never spills, never falls back) and each task
+      // exchanges exactly 64 rows — zero pair-volume disk at ANY scale.
+      // Verification power is preserved: the order-free checksum binds
+      // (u1, u2, floor(overlap seconds)) per instance, so any missing,
+      // extra, duplicated, or misattributed pair — or wrong overlap
+      // bounds — shifts n_overlap_instances/sum_overlap_sec/
+      // pair_checksum. Modulus 1048573 keeps the BIGINT sum exact to
+      // ~8.8e12 instances (≈ sf280 for this corpus). Per-pair n_overlaps
+      // rollups remain expressible over RangeJoin.overlapJoin (the exact
+      // raw-pair path is covered by RangeJoinSpec at unit scale) but cost
+      // a distinct-pair exchange by nature — price it before running one
+      // at scale. The oracle mirrors this instance-level reduction over
+      // DuckDB's IEJoin on the plain overlap predicate.
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
           bucketWidth = 30L * 60 * 1000000,
           extraCond = Some(col("u1") < col("u2")))
-        .groupBy(col("u1"), col("u2"))
-        .agg(count(lit(1)).as("n_overlaps"))
         .select(
-          col("u1"),
-          col("n_overlaps"),
-          (((col("u1") * 1048573L + col("u2")) % 1000000007L) * 31L
-            + col("n_overlaps")).mod(1000000007L).as("h")
+          (col("u1") % 64).as("bucket"),
+          call_function(
+            "div",
+            least(col("e1"), col("e2")) - greatest(col("s1"), col("s2")),
+            lit(1000000L)
+          ).as("ov_sec"),
+          col("u1"), col("u2")
         )
-        .groupBy((col("u1") % 64).as("bucket"))
+        .select(
+          col("bucket"), col("ov_sec"),
+          ((col("u1") % 1048573L) * 31L + (col("u2") % 1048573L) * 17L
+            + col("ov_sec")).mod(1048573L).as("h")
+        )
+        .groupBy(col("bucket"))
         .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("n_overlaps")).as("sum_overlaps"),
+          count(lit(1)).as("n_overlap_instances"),
+          sum(col("ov_sec")).as("sum_overlap_sec"),
           sum(col("h")).as("pair_checksum")
         )
         .orderBy("bucket")
@@ -724,7 +746,9 @@ object OperatorQueries {
         |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // The bucketized overlap join must emit each truly-overlapping pair
-    // exactly once: the oracle is the PLAIN quadratic overlap predicate.
+    // exactly once: the oracle is the PLAIN quadratic overlap predicate
+    // (DuckDB plans it as an IEJoin), reduced per pair-instance with the
+    // identical (u1, u2, overlap-seconds) checksum.
     "o_session_overlap_pairs" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |m AS (SELECT user_id, ts,
@@ -738,16 +762,16 @@ object OperatorQueries {
         |iv AS (SELECT user_id, epoch_us(min(ts)) AS s,
         |              epoch_us(max(ts) + INTERVAL '30 minutes') AS e
         |       FROM g GROUP BY user_id, sid),
-        |pairs AS (
-        |  SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps
+        |p AS (
+        |  SELECT a.user_id AS u1, b.user_id AS u2,
+        |    (least(a.e, b.e) - greatest(a.s, b.s)) // 1000000 AS ov_sec
         |  FROM iv a JOIN iv b
-        |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
-        |  GROUP BY 1, 2)
-        |SELECT u1 % 64 AS bucket, count(*) AS n_pairs,
-        |  CAST(sum(n_overlaps) AS BIGINT) AS sum_overlaps,
-        |  CAST(sum(((u1 * 1048573 + u2) % 1000000007 * 31 + n_overlaps)
-        |           % 1000000007) AS BIGINT) AS pair_checksum
-        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+        |    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e)
+        |SELECT u1 % 64 AS bucket, count(*) AS n_overlap_instances,
+        |  CAST(sum(ov_sec) AS BIGINT) AS sum_overlap_sec,
+        |  CAST(sum((u1 % 1048573 * 31 + u2 % 1048573 * 17 + ov_sec)
+        |           % 1048573) AS BIGINT) AS pair_checksum
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "o_pivot_event_matrix" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click_n,
@@ -815,15 +839,25 @@ object OperatorQueries {
          |  round(avg(span_x), 6) AS avg_span_x, round(avg(span_y), 6) AS avg_span_y
          |FROM f GROUP BY layout ORDER BY layout""".stripMargin
     },
+    // "latest change per key" mirrored as scalar max(ts) + max(event_id)
+    // tie-break + join-back instead of max(struct(...)): DuckDB's
+    // struct-max aggregate state ballooned past the 24 GB bound at sf10
+    // (kernel-OOM after ~15 min — round-10 re-run), while these three
+    // scalar-keyed passes stream in bounded memory. Semantics identical:
+    // event_id is unique, so ordering by (ts, event_id) picks the same
+    // row the struct max did.
     "o_cdc_merge_snapshot" ->
       s"""WITH base AS (SELECT c_custkey AS key, ${centsSql("c_acctbal")} AS bal_cents,
          |                1 AS in_base FROM customer),
-         |lg AS (SELECT user_id + 1 + CASE WHEN event_id % 7 = 0 THEN 100000000 ELSE 0 END AS key,
-         |         max(struct_pack(ts := ts, event_id := event_id,
-         |                         event_type := event_type,
-         |                         val_cents := ${centsSql("value")})) AS m
-         |       FROM events GROUP BY 1),
-         |latest AS (SELECT key, (m).event_type AS op, (m).val_cents AS val_cents FROM lg),
+         |evk AS (SELECT user_id + 1 + CASE WHEN event_id % 7 = 0 THEN 100000000 ELSE 0 END AS key,
+         |          ts, event_id, event_type, ${centsSql("value")} AS val_cents
+         |        FROM events),
+         |mx AS (SELECT key, max(ts) AS mts FROM evk GROUP BY key),
+         |mid AS (SELECT e.key, max(e.event_id) AS meid
+         |        FROM evk e JOIN mx ON e.key = mx.key AND e.ts = mx.mts
+         |        GROUP BY e.key),
+         |latest AS (SELECT e.key, e.event_type AS op, e.val_cents
+         |           FROM evk e JOIN mid ON e.key = mid.key AND e.event_id = mid.meid),
          |j AS (SELECT coalesce(b.key, l.key) AS key, b.bal_cents, b.in_base, l.op, l.val_cents
          |      FROM base b FULL OUTER JOIN latest l ON b.key = l.key),
          |a AS (SELECT *,
