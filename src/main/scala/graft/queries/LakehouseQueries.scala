@@ -695,6 +695,74 @@ object LakehouseQueries {
           sum(when(col("vacuumable"), col("bytes")).otherwise(0L)).as("bytes_reclaimed"),
           sum(when(col("vacuumable"), col("file_id")).otherwise(0L)).as("reclaim_checksum")
         )
+    }),
+
+    // PSI (population stability index) drift monitor — the tabular twin
+    // of e_centroid_drift: per event_type, how far the value distribution
+    // of the current half-month sits from the baseline half-month,
+    // Σ (p_i − q_i)·ln(p_i/q_i) over 10 FROZEN $50 bins (a production
+    // PSI freezes bin edges with the baseline snapshot — deriving them
+    // from data would be another corpus pass and make the metric
+    // non-comparable across runs). Laplace +1 smoothing on a DENSE
+    // (type × bin × cohort) grid (a bin empty on one side must smooth,
+    // not vanish into an inner join). Scale: one scan, one partial-agg
+    // shuffle on (type, cohort, bin) — ≤100 groups; everything after
+    // runs on the O(types·bins) frame. Per-bin contributions quantize to
+    // e9 BIGINT BEFORE summing (identical doubles → identical integers;
+    // integer sums are order-independent), so the PSI is bit-exact
+    // across engines and partitionings; the top contributing bin rides
+    // a max(struct) argmax. All psi values on this stationary synthetic
+    // corpus sit far below the 0.2 industry alert line — the verified
+    // deliverable is the exact e9 value, not a flag.
+    "o_psi_drift" -> ((s, dir) => {
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val binned = events(s, dir).select(
+        col("event_type"),
+        when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
+          .otherwise(1).as("cohort"),
+        least(lit(9L), call_function("div", cents(col("value")), lit(5000L))).as("bin"))
+      val counts = binned
+        .groupBy(col("event_type"), col("cohort"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val grid = s.range(10).select(col("id").as("bin"))
+        .crossJoin(types.toDF("event_type"))
+        .crossJoin(Seq(0, 1).toDF("cohort"))
+      val dense = grid
+        .join(counts, Seq("event_type", "cohort", "bin"), "left")
+        .select(
+          col("event_type"), col("cohort"), col("bin"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val tot = dense.groupBy(col("event_type"), col("cohort"))
+        .agg(sum(col("c")).as("n"))
+      val frac = dense
+        .join(tot, Seq("event_type", "cohort"))
+        .select(
+          col("event_type"), col("cohort"), col("bin"),
+          ((col("c") + 1).cast("double") / (col("n") + 10).cast("double")).as("frac"))
+      val contrib = frac.filter(col("cohort") === 0)
+        .select(col("event_type"), col("bin"), col("frac").as("p"))
+        .join(
+          frac.filter(col("cohort") === 1)
+            .select(col("event_type"), col("bin"), col("frac").as("q")),
+          Seq("event_type", "bin"))
+        .select(
+          col("event_type"), col("bin"),
+          expr("CAST(round((p - q) * ln(p / q) * 1000000000) AS BIGINT)").as("c_e9"))
+      contrib
+        .groupBy(col("event_type"))
+        .agg(
+          sum(col("c_e9")).as("psi_e9"),
+          max(struct(col("c_e9"), (-col("bin")).as("nb"))).as("m"))
+        .join(tot.filter(col("cohort") === 0)
+          .select(col("event_type"), col("n").as("n_base")), Seq("event_type"))
+        .join(tot.filter(col("cohort") === 1)
+          .select(col("event_type"), col("n").as("n_curr")), Seq("event_type"))
+        .select(
+          col("event_type"), col("n_base"), col("n_curr"), col("psi_e9"),
+          (-col("m.nb")).cast("int").as("top_bin"),
+          col("m.c_e9").as("top_bin_psi_e9"))
+        .orderBy("event_type")
     })
   )
 
@@ -809,6 +877,12 @@ object LakehouseQueries {
          |FROM r3 ORDER BY rank_e12 DESC, part_id ASC LIMIT 20""".stripMargin,
     // argmin mirrored as a row_number window (DuckDB has no struct-min
     // aggregate); ties broken identically on (lev, c_custkey).
+    // The lev<=2 verify runs in an INNER hash join + filter, with
+    // unmatched dirty rows restored by a keyed LEFT JOIN afterwards —
+    // semantically identical to lev-inside-the-LEFT-JOIN-ON, but DuckDB
+    // plans THAT form as BLOCKWISE_NL_JOIN (outer joins with non-equi
+    // conjuncts in the ON never reach its hash join: 5.6e11 dirty ×
+    // customer pairs at sf10, >1800 s — round-10 EXPLAIN finding).
     "o_record_linkage" ->
       s"""WITH dirty AS (
          |  SELECT c_custkey + 900000 AS d_id,
@@ -819,17 +893,20 @@ object LakehouseQueries {
          |  FROM customer WHERE c_custkey % 4 = 0),
          |cand AS (
          |  SELECT d.d_id, c.c_custkey, levenshtein(d.d_name, c.c_name) AS lev
-         |  FROM dirty d LEFT JOIN customer c
+         |  FROM dirty d JOIN customer c
          |    ON d.d_nation = c.c_nationkey AND d.d_segment = c.c_mktsegment
          |   AND (${centsSql("d.d_acctbal")} + 10000000) // 10000
          |     = (${centsSql("c.c_acctbal")} + 10000000) // 10000
-         |   AND levenshtein(d.d_name, c.c_name) <= 2),
-         |best AS (
-         |  SELECT d_id, CAST(coalesce(lev, -1) AS INTEGER) AS match_lev,
-         |         c_custkey AS matched_key
+         |  WHERE levenshtein(d.d_name, c.c_name) <= 2),
+         |bm AS (
+         |  SELECT d_id, lev, c_custkey AS matched_key
          |  FROM cand
          |  QUALIFY row_number() OVER (
-         |    PARTITION BY d_id ORDER BY lev ASC NULLS LAST, c_custkey ASC NULLS LAST) = 1)
+         |    PARTITION BY d_id ORDER BY lev ASC, c_custkey ASC) = 1),
+         |best AS (
+         |  SELECT d.d_id, CAST(coalesce(bm.lev, -1) AS INTEGER) AS match_lev,
+         |         bm.matched_key
+         |  FROM dirty d LEFT JOIN bm ON d.d_id = bm.d_id)
          |SELECT match_lev, count(*) AS n,
          |       CAST(sum(d_id) AS BIGINT) AS dirty_checksum,
          |       CAST(sum(coalesce(matched_key, 0)) AS BIGINT) AS master_checksum
@@ -948,6 +1025,41 @@ object LakehouseQueries {
         |  CAST(sum(CASE WHEN vacuumable THEN 1 ELSE 0 END) AS BIGINT) AS n_vacuumable,
         |  CAST(sum(CASE WHEN vacuumable THEN bytes ELSE 0 END) AS BIGINT) AS bytes_reclaimed,
         |  CAST(sum(CASE WHEN vacuumable THEN file_id ELSE 0 END) AS BIGINT) AS reclaim_checksum
-        |FROM cls""".stripMargin
+        |FROM cls""".stripMargin,
+    // Identical dense grid, smoothing, and e9 quantization-before-sum —
+    // the ln inputs are the same doubles on both engines, so the rounded
+    // integer contributions (and their exact integer sums) match
+    // bit-for-bit.
+    "o_psi_drift" ->
+      """WITH b AS (SELECT event_type,
+        |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS cohort,
+        |    least(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin
+        |  FROM events),
+        |bc AS (SELECT event_type, cohort, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        |grid AS (SELECT t.event_type, c.cohort, r.range AS bin
+        |         FROM (VALUES ('click'),('error'),('purchase'),('signup'),('view')) t(event_type)
+        |         CROSS JOIN (VALUES (0),(1)) c(cohort)
+        |         CROSS JOIN range(0, 10) r),
+        |dense AS (SELECT g.event_type, g.cohort, g.bin, coalesce(bc.c, 0) AS c
+        |          FROM grid g LEFT JOIN bc ON bc.event_type = g.event_type
+        |            AND bc.cohort = g.cohort AND bc.bin = g.bin),
+        |tot AS (SELECT event_type, cohort, sum(c) AS n FROM dense GROUP BY 1, 2),
+        |f AS (SELECT d.event_type, d.cohort, d.bin,
+        |        (d.c + 1.0) / (t.n + 10.0) AS frac
+        |      FROM dense d JOIN tot t ON t.event_type = d.event_type AND t.cohort = d.cohort),
+        |j AS (SELECT p.event_type, p.bin,
+        |        CAST(round((p.frac - q.frac) * ln(p.frac / q.frac) * 1000000000) AS BIGINT) AS c_e9
+        |      FROM f p JOIN f q ON q.event_type = p.event_type AND q.bin = p.bin
+        |       AND p.cohort = 0 AND q.cohort = 1),
+        |agg AS (SELECT event_type, CAST(sum(c_e9) AS BIGINT) AS psi_e9 FROM j GROUP BY 1),
+        |tb AS (SELECT event_type, CAST(bin AS INT) AS top_bin, c_e9 AS top_bin_psi_e9 FROM j
+        |       QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY c_e9 DESC, bin ASC) = 1)
+        |SELECT a.event_type, CAST(t0.n AS BIGINT) AS n_base, CAST(t1.n AS BIGINT) AS n_curr,
+        |  a.psi_e9, tb.top_bin, tb.top_bin_psi_e9
+        |FROM agg a
+        |JOIN (SELECT event_type, n FROM tot WHERE cohort = 0) t0 ON t0.event_type = a.event_type
+        |JOIN (SELECT event_type, n FROM tot WHERE cohort = 1) t1 ON t1.event_type = a.event_type
+        |JOIN tb ON tb.event_type = a.event_type
+        |ORDER BY a.event_type""".stripMargin
   )
 }

@@ -329,4 +329,23 @@ class LakehouseSpec extends SparkSpecBase {
     // live range [v_add, v_rm) must end at or before the horizon
     vac.foreach(k => assert(vRm(k).get <= 30))
   }
+
+  test("psi drift: non-negativity, top-bin bound, and cohort totals") {
+    val rows = LakehouseQueries.queries("o_psi_drift")(spark, Sf0001).collect()
+    assert(rows.length == 5, "one row per pinned event type")
+    // PSI = Σ (p−q)·ln(p/q) is a sum of NON-negative terms — a negative
+    // psi (or a top-bin contribution exceeding the total) means the
+    // smoothing, the dense bin grid, or the e9 quantization broke
+    rows.foreach { r =>
+      val psi = r.getAs[Long]("psi_e9")
+      val top = r.getAs[Long]("top_bin_psi_e9")
+      assert(psi >= 0L, s"negative PSI for ${r.getAs[String]("event_type")}")
+      assert(top >= 0L && top <= psi, "top bin contribution outside [0, psi]")
+      val b = r.getAs[Int]("top_bin")
+      assert(b >= 0 && b <= 9)
+    }
+    // the two cohorts partition the events table exactly
+    val nEvents = graft.queries.Q.events(spark, Sf0001).count()
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_curr")).sum == nEvents)
+  }
 }
