@@ -223,7 +223,12 @@ object OperatorQueries {
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
           bucketWidth = 30L * 60 * 1000000,
-          extraCond = Some(col("u1") < col("u2")))
+          extraCond = Some(col("u1") < col("u2")),
+          // diurnal peak buckets carry quadratically more pairs; salt=4
+          // spreads each bucket's candidate work over 4 tasks (the r10
+          // sf10 run idled 39% of its cores in the straggler tail
+          // unsalted — see RangeJoin's salting note)
+          saltFactor = 4)
         .select(
           (col("u1") % 64).as("bucket"),
           call_function(

@@ -126,4 +126,24 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got.count() == naive.count())
     assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
   }
+
+  test("hot-bucket salting is invisible to results: salted == unsalted, exactly once") {
+    // every (left, right) pair must still meet exactly once — in the
+    // canonical bucket at the LEFT row's salt group — so per-pair counts
+    // match the unsalted join for a salt factor that exceeds 1 and does
+    // not divide the bucket count
+    val l = mkIntervals(200, 8).select(col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = mkIntervals(150, 9).select(col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+    val salted = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 500,
+        extraCond = None, saltFactor = 3)
+      .select("lid", "rid")
+    val unsalted = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 500)
+      .select("lid", "rid")
+    val sc = salted.groupBy("lid", "rid").count()
+    val uc = unsalted.groupBy("lid", "rid").count()
+    assert(sc.except(uc).isEmpty && uc.except(sc).isEmpty)
+    assert(salted.count() == unsalted.count())
+  }
 }
