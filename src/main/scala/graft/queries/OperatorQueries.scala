@@ -195,9 +195,11 @@ object OperatorQueries {
       val l = iv.select(col("user_id").as("u1"), col("s").as("s1"), col("e").as("e1"))
       val r = iv.select(col("user_id").as("u2"), col("s").as("s2"), col("e").as("e2"))
       // The overlapping-pair multiset is inherently QUADRATIC in
-      // co-active sessions (112.1M instances from ~955K sessions at sf1;
-      // ~11.2B from 9.55M sessions at sf10 — same 30-day window, 10× the
-      // users, so co-activity grows ~100×). Round 9's formulation reduced
+      // co-active sessions (651.7M instances across 112.1M distinct user
+      // pairs from ~955K sessions at sf1; 65.2B instances from 9.55M
+      // sessions at sf10 — same 30-day window, 10× the users, so
+      // co-activity grows 100×; both counts measured round 10, oracle-
+      // confirmed). Round 9's formulation reduced
       // per DISTINCT (u1, u2) before the bucket checksum — which is the
       // scale antipattern one level up: the groupBy(u1, u2) partial agg
       // sees mostly-unique pair keys per task (its hash map overflows and
