@@ -1505,59 +1505,149 @@ object EmbeddingQueries {
     // groupBy over postings; output is O(cells-touched) ≤ O(√n) — index
     // metadata scale, not corpus scale.
     "e_index_append" -> ((s, dir) => {
-      val (centT, postT) = incIndexTables(s, dir)
-      val cent = s.table(centT)
-      val hasBatch =
-        !s.table(postT).filter(col("vec_id") >= IncBatchOffset).isEmpty
-      if (!hasBatch) {
-        val batch = vecs(s, dir)
-          .filter(col("vec_id") % 7 === 3)
-          .select((col("vec_id") + IncBatchOffset).as("vec_id"), col("v"), col("nrm"))
-        val asg = batch
-          .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
-          .crossJoin(broadcast(cent))
-          .withColumn("cos", cosCol)
-          .groupBy(col("vec_id"))
-          .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m"))
-          .select(col("vec_id"), (-col("m.negcid")).as("cid"))
-        batch
-          .join(asg, "vec_id")
-          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-          .repartition(col("cid"))
-          .write.mode("append").partitionBy("cid").saveAsTable(postT)
-      }
-      // drift report computed from the PERSISTED postings (read-back, so
-      // an append-path bug cannot hide), cells that received batch rows
-      val posts = s.table(postT)
-      val nBase = posts
-        .filter(col("vec_id") < IncBatchOffset)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_base"))
-      val batchDims = posts
-        .filter(col("vec_id") >= IncBatchOffset)
-        .select(
-          col("cid"),
-          expr(s"transform(v, x -> CAST(round(x * $QScale) AS BIGINT))").as("qvi"))
-        .select(col("cid"), posexplode(col("qvi")).as(Seq("pos", "q")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("q")).as("sq"), count(lit(1)).as("nb"))
-      val centDims = cent
-        .select(
-          col("cid"),
-          expr(s"transform(cv, x -> CAST(round(x * $QScale) AS BIGINT))").as("qci"))
-        .select(col("cid"), posexplode(col("qci")).as(Seq("pos", "cq")))
-      batchDims
-        .join(centDims, Seq("cid", "pos"))
-        .withColumn("d_q", expr("abs(cq * nb - sq) div nb"))
-        .groupBy(col("cid"))
-        .agg(min(col("nb")).as("n_batch"), sum(col("d_q")).as("l1_drift_q"))
-        .join(nBase, Seq("cid"))
+      val (centT, postT) = ensureIncAppended(s, dir)
+      incCellDrift(s, centT, postT)
         .select(
           col("cid"), col("n_base"), col("n_batch"), col("l1_drift_q"),
           (col("l1_drift_q") > lit(DriftReseedThresholdQ)).as("needs_reseed"))
         .orderBy("cid")
+    }),
+
+    // RE-SEED PLAN — the action `e_index_append`'s drift flag calls for,
+    // closing the maintenance loop (build → append → drift → re-seed):
+    // for the TOP-5 highest-drift cells (budgeted worst-first, so the
+    // plan is scale-stable where a fixed threshold flags nothing on a
+    // large well-mixed corpus), split the cell along its diameter —
+    // KEEP the stored centroid as sub-seed A and ADD the member farthest
+    // from it (min cosine, tie-broken on vec_id) as sub-seed B — then
+    // re-assign ONLY that cell's members to the nearer sub-seed. Since
+    // sub-seed A IS the old centroid, every member's chosen cosine is
+    // ≥ its old one, so new_cos_e6_sum − old_cos_e6_sum is the exact
+    // measured fit gain of the split (asserted ≥ 0 in IndexAppendSpec).
+    // Scale: drift is a postings groupBy; top-5 is a TakeOrdered over
+    // O(√n) cells; members of 5 cells enter via a broadcast semi-join
+    // (partition-pruned read at scale); everything downstream is
+    // O(members-of-5-cells). Like o_compaction_plan / o_vacuum_plan this
+    // emits the maintenance PLAN — applying it is a partition rewrite of
+    // exactly 5 cid dirs.
+    "e_index_reseed" -> ((s, dir) => {
+      val (centT, postT) = ensureIncAppended(s, dir)
+      val top = incCellDrift(s, centT, postT)
+        .orderBy(col("l1_drift_q").desc, col("cid"))
+        .limit(5)
+        .select(col("cid"), col("l1_drift_q"))
+      val members = s.table(postT)
+        .join(broadcast(top.select(col("cid"))), Seq("cid"))
+        .select(col("cid"), col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val withOld = members
+        .join(broadcast(s.table(centT)), Seq("cid"))
+        .withColumn("cos_old", cosCol)
+        .select(col("cid"), col("vec_id"), col("qv"), col("qn"), col("cos_old"))
+      // farthest member from the kept centroid = sub-seed B; its vector
+      // rides the argmax struct (unique (cos, vec_id) per row, so the
+      // trailing array fields never participate in the comparison)
+      val seedB = withOld
+        .groupBy(col("cid"))
+        .agg(max(struct(
+          (-col("cos_old")).as("nc"), (-col("vec_id")).as("nv"),
+          col("qv").as("bv"), col("qn").as("bn"))).as("m"))
+        .select(
+          col("cid"), (-col("m.nv")).as("seed_b"),
+          col("m.bv").as("bv"), col("m.bn").as("bn"))
+      val withB = withOld
+        .join(broadcast(seedB), Seq("cid"))
+        .withColumn("cos_b", expr(s"${dotSpark("qv", "bv")} / (sqrt(qn) * sqrt(bn))"))
+      withB
+        .select(
+          col("cid"), col("vec_id"),
+          (col("cos_old") >= col("cos_b")).as("to_a"),
+          col("cos_old"), col("cos_b"))
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("to_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("to_a"), 1L).otherwise(0L)).as("n_b"),
+          sum((col("vec_id") % 1000000007L)
+            * when(col("to_a"), 31L).otherwise(17L)).as("asg_checksum"),
+          sum(expr("CAST(round(cos_old * 1000000) AS BIGINT)")).as("old_cos_e6_sum"),
+          sum(expr(
+            "CAST(round(CASE WHEN cos_old >= cos_b THEN cos_old ELSE cos_b END" +
+              " * 1000000) AS BIGINT)")).as("new_cos_e6_sum")
+        )
+        .join(broadcast(seedB), Seq("cid"))
+        .join(broadcast(top), Seq("cid"))
+        .select(
+          col("cid"), col("l1_drift_q"), col("n_members"), col("seed_b"),
+          col("n_a"), col("n_b"), col("asg_checksum"),
+          col("old_cos_e6_sum"), col("new_cos_e6_sum"))
+        .orderBy(col("l1_drift_q").desc, col("cid"))
     })
   )
+
+  /** Builds the base index if absent and appends the held-out batch once
+    * (ingest-once: if batch-range vec_ids are already present the append
+    * is a no-op — at 100 TB this check reads the ingestion manifest;
+    * here it is an existence probe on the id range).
+    */
+  private def ensureIncAppended(s: SparkSession, dir: String): (String, String) = {
+    val (centT, postT) = incIndexTables(s, dir)
+    val hasBatch =
+      !s.table(postT).filter(col("vec_id") >= IncBatchOffset).isEmpty
+    if (!hasBatch) {
+      val batch = vecs(s, dir)
+        .filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + IncBatchOffset).as("vec_id"), col("v"), col("nrm"))
+      val asg = batch
+        .select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+        .crossJoin(broadcast(s.table(centT)))
+        .withColumn("cos", cosCol)
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("negcid"))).as("m"))
+        .select(col("vec_id"), (-col("m.negcid")).as("cid"))
+      batch
+        .join(asg, "vec_id")
+        .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+        .repartition(col("cid"))
+        .write.mode("append").partitionBy("cid").saveAsTable(postT)
+    }
+    (centT, postT)
+  }
+
+  /** Per-cell drift of the appended batch vs the stored centroid, from
+    * the PERSISTED tables (read-back, so an append-path bug cannot
+    * hide): (cid, n_base, n_batch, l1_drift_q) for cells that received
+    * batch rows — the fixed-point arithmetic of e_centroid_drift.
+    */
+  private def incCellDrift(
+      s: SparkSession,
+      centT: String,
+      postT: String
+  ): org.apache.spark.sql.DataFrame = {
+    val posts = s.table(postT)
+    val nBase = posts
+      .filter(col("vec_id") < IncBatchOffset)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_base"))
+    val batchDims = posts
+      .filter(col("vec_id") >= IncBatchOffset)
+      .select(
+        col("cid"),
+        expr(s"transform(v, x -> CAST(round(x * $QScale) AS BIGINT))").as("qvi"))
+      .select(col("cid"), posexplode(col("qvi")).as(Seq("pos", "q")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("nb"))
+    val centDims = s.table(centT)
+      .select(
+        col("cid"),
+        expr(s"transform(cv, x -> CAST(round(x * $QScale) AS BIGINT))").as("qci"))
+      .select(col("cid"), posexplode(col("qci")).as(Seq("pos", "cq")))
+    batchDims
+      .join(centDims, Seq("cid", "pos"))
+      .withColumn("d_q", expr("abs(cq * nb - sq) div nb"))
+      .groupBy(col("cid"))
+      .agg(min(col("nb")).as("n_batch"), sum(col("d_q")).as("l1_drift_q"))
+      .join(nBase, Seq("cid"))
+  }
 
   /** Batch vec_ids live at +10M so base vs appended rows are separable by
     * id range (same id-offset provenance as [[nearCorpus]]'s planted
@@ -1622,6 +1712,42 @@ object EmbeddingQueries {
 
   private val incBaseCountCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Shared DuckDB CTE chain for the incremental-index mirrors: base
+    * split → √n̄ base seeding → exact base/batch argmax assignments →
+    * per-cell fixed-point batch drift (`dr`). Deliberately exact n×k —
+    * the documented timeout family at sf10.
+    */
+  private lazy val incIdxCtes: String =
+    s"""$vecsCte,
+       |base AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 3),
+       |cent AS (SELECT vec_id AS cid, v, nrm FROM base
+       |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
+       |                         FROM base) = 0),
+       |basg AS (SELECT vec_id, cid FROM (
+       |  SELECT x.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
+       |  FROM base x CROSS JOIN cent c) WHERE rn = 1),
+       |nbase AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM basg GROUP BY cid),
+       |batch AS (SELECT vec_id + $IncBatchOffset AS vec_id, v, nrm FROM n
+       |          WHERE vec_id % 7 = 3),
+       |gasg AS (SELECT vec_id, cid, v FROM (
+       |  SELECT x.vec_id, c.cid, x.v,
+       |    row_number() OVER (PARTITION BY x.vec_id
+       |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
+       |  FROM batch x CROSS JOIN cent c) WHERE rn = 1),
+       |bsum AS (SELECT cid, r.range - 1 AS pos,
+       |           CAST(sum(CAST(round(v[r.range] * $QScale) AS BIGINT)) AS BIGINT) AS sq,
+       |           count(*) AS nb
+       |         FROM gasg CROSS JOIN range(1, 65) r GROUP BY 1, 2),
+       |cd AS (SELECT cid, r.range - 1 AS pos,
+       |         CAST(round(v[r.range] * $QScale) AS BIGINT) AS cq
+       |       FROM cent CROSS JOIN range(1, 65) r),
+       |d AS (SELECT b.cid, abs(cd.cq * b.nb - b.sq) // b.nb AS d_q, b.nb
+       |      FROM bsum b JOIN cd ON cd.cid = b.cid AND cd.pos = b.pos),
+       |dr AS (SELECT cid, CAST(min(nb) AS BIGINT) AS n_batch,
+       |         CAST(sum(d_q) AS BIGINT) AS l1_drift_q FROM d GROUP BY cid)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "e_bruteforce_topk" ->
@@ -1839,38 +1965,48 @@ object EmbeddingQueries {
     // against those centroids, and the fixed-point drift — all exact, so
     // the mirror is the same n×k timeout-class family at sf10.
     "e_index_append" ->
-      s"""$vecsCte,
-         |base AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 3),
-         |cent AS (SELECT vec_id AS cid, v, nrm FROM base
-         |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
-         |                         FROM base) = 0),
-         |basg AS (SELECT vec_id, cid FROM (
-         |  SELECT x.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-         |  FROM base x CROSS JOIN cent c) WHERE rn = 1),
-         |nbase AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM basg GROUP BY cid),
-         |batch AS (SELECT vec_id + $IncBatchOffset AS vec_id, v, nrm FROM n
-         |          WHERE vec_id % 7 = 3),
-         |gasg AS (SELECT vec_id, cid, v FROM (
-         |  SELECT x.vec_id, c.cid, x.v,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-         |  FROM batch x CROSS JOIN cent c) WHERE rn = 1),
-         |bsum AS (SELECT cid, r.range - 1 AS pos,
-         |           CAST(sum(CAST(round(v[r.range] * $QScale) AS BIGINT)) AS BIGINT) AS sq,
-         |           count(*) AS nb
-         |         FROM gasg CROSS JOIN range(1, 65) r GROUP BY 1, 2),
-         |cd AS (SELECT cid, r.range - 1 AS pos,
-         |         CAST(round(v[r.range] * $QScale) AS BIGINT) AS cq
-         |       FROM cent CROSS JOIN range(1, 65) r),
-         |d AS (SELECT b.cid, abs(cd.cq * b.nb - b.sq) // b.nb AS d_q, b.nb
-         |      FROM bsum b JOIN cd ON cd.cid = b.cid AND cd.pos = b.pos),
-         |dr AS (SELECT cid, CAST(min(nb) AS BIGINT) AS n_batch,
-         |         CAST(sum(d_q) AS BIGINT) AS l1_drift_q FROM d GROUP BY cid)
+      s"""$incIdxCtes
          |SELECT dr.cid, nbase.n_base, dr.n_batch, dr.l1_drift_q,
          |  dr.l1_drift_q > $DriftReseedThresholdQ AS needs_reseed
          |FROM dr JOIN nbase ON nbase.cid = dr.cid ORDER BY dr.cid""".stripMargin,
+    // Same CTE chain, then the diameter split over the top-5 drift
+    // cells: seed B = min-cosine member (ties on vec_id), members choose
+    // the nearer of {old centroid, seed B} with >= to the kept centroid.
+    "e_index_reseed" ->
+      s"""$incIdxCtes,
+         |mem AS (
+         |  SELECT g.cid, b.vec_id, b.v, b.nrm
+         |  FROM basg g JOIN base b ON b.vec_id = g.vec_id
+         |  UNION ALL
+         |  SELECT g.cid, t.vec_id, t.v, t.nrm
+         |  FROM gasg g JOIN batch t ON t.vec_id = g.vec_id),
+         |top5 AS (SELECT cid, l1_drift_q FROM dr
+         |         ORDER BY l1_drift_q DESC, cid LIMIT 5),
+         |mo AS (SELECT m.cid, m.vec_id, m.v, m.nrm,
+         |         ${cosSql("m.v", "c.v", "m.nrm", "c.nrm")} AS cos_old
+         |       FROM mem m JOIN top5 USING (cid) JOIN cent c ON c.cid = m.cid),
+         |sb AS (SELECT cid, vec_id AS seed_b, v AS bv, nrm AS bn FROM mo
+         |       QUALIFY row_number() OVER (PARTITION BY cid
+         |         ORDER BY cos_old ASC, vec_id ASC) = 1),
+         |wb AS (SELECT mo.cid, mo.vec_id, mo.cos_old,
+         |         ${cosSql("mo.v", "sb.bv", "mo.nrm", "sb.bn")} AS cos_b
+         |       FROM mo JOIN sb ON sb.cid = mo.cid),
+         |ag AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members,
+         |        CAST(count(*) FILTER (cos_old >= cos_b) AS BIGINT) AS n_a,
+         |        CAST(count(*) FILTER (cos_old < cos_b) AS BIGINT) AS n_b,
+         |        CAST(sum((vec_id % 1000000007)
+         |          * CASE WHEN cos_old >= cos_b THEN 31 ELSE 17 END) AS BIGINT)
+         |          AS asg_checksum,
+         |        CAST(sum(CAST(round(cos_old * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS old_cos_e6_sum,
+         |        CAST(sum(CAST(round(CASE WHEN cos_old >= cos_b THEN cos_old
+         |                                 ELSE cos_b END * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS new_cos_e6_sum
+         |      FROM wb GROUP BY cid)
+         |SELECT ag.cid, t.l1_drift_q, ag.n_members, sb.seed_b, ag.n_a, ag.n_b,
+         |  ag.asg_checksum, ag.old_cos_e6_sum, ag.new_cos_e6_sum
+         |FROM ag JOIN sb ON sb.cid = ag.cid JOIN top5 t ON t.cid = ag.cid
+         |ORDER BY t.l1_drift_q DESC, ag.cid""".stripMargin,
     // Recall@10 of the IVF search vs the exact brute-force top-10 — both
     // paths mirrored above; hits counted over the (query, neighbor) pairs
     // the two rankings share.

@@ -85,4 +85,31 @@ class IndexAppendSpec extends SparkSpecBase {
     assert(listing(postDir) == after1, "second run modified the postings files")
     assert(r2 == r1, "second run changed the drift report")
   }
+
+  test("e_index_reseed: diameter-split plan invariants") {
+    val rows = EmbeddingQueries.queries("e_index_reseed")(spark, Sf0001).collect()
+    assert(rows.length == 5, "budgeted worst-first plan is always top-5 cells")
+    val (_, postT) = EmbeddingQueries.incIndexTables(spark, Sf0001)
+    val posts = spark.table(postT)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cid")
+      val nM = r.getAs[Long]("n_members")
+      val nA = r.getAs[Long]("n_a")
+      val nB = r.getAs[Long]("n_b")
+      // the split partitions the cell exactly, and keeping the old
+      // centroid as sub-seed A guarantees the fit never degrades
+      assert(nA + nB == nM, s"cell $cid: split does not partition members")
+      assert(nA >= 1, s"cell $cid: the kept centroid must retain itself")
+      assert(
+        r.getAs[Long]("new_cos_e6_sum") >= r.getAs[Long]("old_cos_e6_sum"),
+        s"cell $cid: diameter split degraded the fit")
+      // sub-seed B is a real member of the cell, and the member count
+      // matches the persisted postings partition
+      val members = posts.filter(col("cid") === cid)
+      assert(members.count() == nM, s"cell $cid: n_members != postings")
+      assert(
+        members.filter(col("vec_id") === r.getAs[Long]("seed_b")).count() == 1,
+        s"cell $cid: seed_b is not a member")
+    }
+  }
 }
