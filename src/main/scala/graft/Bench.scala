@@ -127,8 +127,16 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.map(_._2).filter(_ >= 0)
     val failed = results.size - ok.size
+    // slowest-15 AFTER the full map (VERDICT r10 #6): the driver keeps
+    // only the last ~2 KB of output, which the alphabetical per-query map
+    // alone overflows — so regression analysis saw just its q/s/t tail.
+    // Placing a compact worst-offenders digest (plus failed/sf) after the
+    // map keeps the whole performance story inside the visible window.
+    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(ok.sum)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(ok.sum)},"unit":"sec","queries":$qs,"failed":$failed,"slowest15":$slow,"sf":"$sfDir"}"""
     )
     Console.out.flush()
     spark.stop()

@@ -721,7 +721,15 @@ object LakehouseQueries {
         col("event_type"),
         when(col("ts") < lit("2024-01-16").cast("timestamp"), 0)
           .otherwise(1).as("cohort"),
-        least(lit(9L), call_function("div", cents(col("value")), lit(5000L))).as("bin"))
+        // Clamp BOTH ends to the frozen [0, 9] grid (ADVICE r10): without
+        // the lower clamp a negative value bins to 0 here (Spark `div`
+        // truncates toward zero) but to -1 in the mirror (DuckDB `//`
+        // floors) and silently vanishes from the dense grid. The 0-clamp
+        // also makes the truncate-vs-floor divergence moot — the engines
+        // only disagree on negative quotients, and every negative
+        // quotient clamps to bin 0 on both sides.
+        greatest(lit(0L),
+          least(lit(9L), call_function("div", cents(col("value")), lit(5000L)))).as("bin"))
       val counts = binned
         .groupBy(col("event_type"), col("cohort"), col("bin"))
         .agg(count(lit(1)).as("c"))
@@ -1033,7 +1041,7 @@ object LakehouseQueries {
     "o_psi_drift" ->
       """WITH b AS (SELECT event_type,
         |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END AS cohort,
-        |    least(9, CAST(round(value * 100) AS BIGINT) // 5000) AS bin
+        |    greatest(0, least(9, CAST(round(value * 100) AS BIGINT) // 5000)) AS bin
         |  FROM events),
         |bc AS (SELECT event_type, cohort, bin, count(*) AS c FROM b GROUP BY 1, 2, 3),
         |grid AS (SELECT t.event_type, c.cohort, r.range AS bin

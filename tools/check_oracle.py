@@ -43,8 +43,16 @@ def connect(sf_dir):
     # timeout and lost the rest of the batch's rows).
     # Overridable (ADVICE r9 #4): on a host with less RAM / a small /tmp the
     # hardcoded bound either fails to protect or fills the root partition.
+    # Fail fast on malformed overrides (ADVICE r10): these values are
+    # interpolated into SET statements, so a typo'd or quote-bearing value
+    # otherwise surfaces as an obscure mid-sweep SQL error hours in.
+    import re
     mem = os.environ.get("ORACLE_MEM", "24GB")
+    if not re.fullmatch(r"[0-9]+(\.[0-9]+)?\s*[KMGT]i?B", mem, re.I):
+        sys.exit(f"ORACLE_MEM={mem!r} is not a size like '24GB'")
     tmp = os.environ.get("ORACLE_TMP", "/tmp/duckdb_spill")
+    if "'" in tmp or not os.path.isabs(tmp):
+        sys.exit(f"ORACLE_TMP={tmp!r} must be an absolute path without quotes")
     con.execute(f"SET memory_limit='{mem}'")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
@@ -56,9 +64,27 @@ def connect(sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     return con
 
+def load_preclassified():
+    """ORACLE_PRECLASSIFY=<path to mirror_families.txt> marks the listed
+    queries' mirrors as known timeout-class (deliberately exact; each
+    family has a measured over-cap representative in BASELINE.md): they
+    are reported as annotated TIMEOUTs without burning the cap on each —
+    a 20-mirror × 900 s replay of already-measured quadratic work."""
+    path = os.environ.get("ORACLE_PRECLASSIFY")
+    if not path:
+        return {}
+    fams = {}
+    for line in open(path):
+        line = line.strip()
+        if line and not line.startswith("#"):
+            name, fam = line.split(None, 1)
+            fams[name] = fam
+    return fams
+
 def main(out_dir, sf_dir, timeout_s=None):
     con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    preclass = load_preclassified()
     n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -70,6 +96,12 @@ def main(out_dir, sf_dir, timeout_s=None):
         got = pd.read_parquet(files[0]) if len(files) == 1 else pd.concat([pd.read_parquet(f) for f in files])
         if name not in oracles:
             print(f"SKIP  {name}: no oracle ({len(got)} rows)"); continue
+        if name in preclass:
+            print(f"TIMEOUT {name}: pre-classified mirror family "
+                  f"[{preclass[name]}], not re-run (engine output present: "
+                  f"{len(got)} rows)")
+            n_timeout += 1
+            continue
         timer = None
         timed_out = []
         if timeout_s:

@@ -6,6 +6,13 @@
 # are excluded up front — their DuckDB mirrors are deliberately quadratic.
 #
 # Usage: tools/sf10_sweep.sh <snapshot-classes-dir> <out-root> [batch ...]
+#
+# Env: ORACLE_CAP (default 600) per-oracle DuckDB cap;
+#      ORACLE_PRECLASSIFY=tools/mirror_families.txt to report the known
+#      timeout-class mirrors as annotated TIMEOUTs instead of re-burning
+#      the cap on each (their engine sides still run in the batch);
+#      tools/sweep_summary.py then enforces that every TIMEOUT row —
+#      measured or pre-classified — carries a documented family.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SNAP="$1"; OUT="$2"; shift 2
