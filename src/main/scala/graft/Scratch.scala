@@ -45,6 +45,24 @@ object Scratch {
       spark.stop()
       return
     }
+    if (args.headOption.contains("tune")) {
+      // print the RangeJoin auto-knobs for the session-interval frame at
+      // this SF (dev instrument for VERDICT r10 #1)
+      import org.apache.spark.sql.functions._
+      val iv = graft.streaming.EventPipeline
+        .sessionize(graft.queries.Q.events(spark, sfDir))
+        .select(
+          col("user_id"),
+          unix_micros(col("session_start")).as("s"),
+          unix_micros(col("session_end")).as("e"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val k = graft.operators.RangeJoin.tuneKnobs(iv, "s", "e")
+      println(f"[tune] ${(System.nanoTime() - t0) / 1e9}%.3f s  $k  " +
+        f"(width=${k.bucketWidth / 60e6}%.2f min)")
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("probe")) {
       // stage-by-stage timing of the dedup text pipeline (dev only)
       import org.apache.spark.sql.functions._

@@ -222,15 +222,22 @@ object OperatorQueries {
       // a distinct-pair exchange by nature — price it before running one
       // at scale. The oracle mirrors this instance-level reduction over
       // DuckDB's IEJoin on the plain overlap predicate.
+      // SELF-TUNED knobs (VERDICT r10 #1): two cheap stats passes over
+      // the checkpointed session frame replace the hand constants this
+      // query carried through round 10 (bucketWidth = 30 min ≈ the
+      // median session span it now measures; saltFactor from the
+      // measured work skew B·max(occ)²/Σocc² — the straggler ratio the
+      // hand salt=4 was eyeballing from the sf10 run's 39% idle tail).
+      // On a different corpus — shorter sessions, sharper diurnal
+      // peaks — it retunes instead of silently mistuning. Knobs never
+      // change the result set, only the straggler profile
+      // (RangeJoinSpec asserts auto ≡ hand).
+      val knobs = RangeJoin.tuneKnobs(iv, "s", "e")
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
-          bucketWidth = 30L * 60 * 1000000,
+          bucketWidth = knobs.bucketWidth,
           extraCond = Some(col("u1") < col("u2")),
-          // diurnal peak buckets carry quadratically more pairs; salt=4
-          // spreads each bucket's candidate work over 4 tasks (the r10
-          // sf10 run idled 39% of its cores in the straggler tail
-          // unsalted — see RangeJoin's salting note)
-          saltFactor = 4)
+          saltFactor = knobs.saltFactor)
         .select(
           (col("u1") % 64).as("bucket"),
           call_function(

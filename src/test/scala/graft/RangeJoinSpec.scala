@@ -127,6 +127,60 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(got.except(naive).isEmpty && naive.except(got).isEmpty)
   }
 
+  test("tuneKnobs: auto-knob join result equals the hand-knob join exactly") {
+    // VERDICT r10 #1: whatever (width, salt) the tuner picks, the pair
+    // multiset must be the hand-tuned join's — knobs are performance-only
+    val l = mkIntervals(200, 21).select(col("id").as("lid"), col("s").as("ls"), col("e").as("le"))
+    val r = mkIntervals(150, 22).select(col("id").as("rid"), col("s").as("rs"), col("e").as("re"))
+    val k = RangeJoin.tuneKnobs(l, "ls", "le")
+    assert(k.bucketWidth >= 1)
+    assert(k.saltFactor >= 1 && k.saltFactor <= 16)
+    val auto = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re",
+        bucketWidth = k.bucketWidth, saltFactor = k.saltFactor)
+      .select("lid", "rid")
+    val hand = RangeJoin
+      .overlapJoin(l, r, "ls", "le", "rs", "re", bucketWidth = 500)
+      .select("lid", "rid")
+    val ac = auto.groupBy("lid", "rid").count()
+    val hc = hand.groupBy("lid", "rid").count()
+    assert(ac.except(hc).isEmpty && hc.except(ac).isEmpty)
+    assert(auto.count() == hand.count())
+  }
+
+  test("tuneKnobs: width tracks the median interval length") {
+    // constant-length intervals: the median IS the length, so the tuned
+    // width must equal it exactly (approx_percentile is exact on a
+    // single-valued distribution)
+    val iv = spark.range(500).select(
+      col("id"),
+      (col("id") * 37 % 10000).as("s"),
+      (col("id") * 37 % 10000 + 120).as("e"))
+    assert(RangeJoin.tuneKnobs(iv, "s", "e").bucketWidth == 120L)
+  }
+
+  test("tuneKnobs: skewed fixture chooses salt > 1, uniform fixture salt == 1") {
+    // skew: 90% of intervals piled into one diurnal-peak instant, the
+    // rest spread wide. This is the fixture a p99-occupancy rule missed
+    // (the hot bucket is <1% of buckets, so p99 sat in the empty tail);
+    // the work-skew rule B·max²/Σc² must salt it
+    val skewed = spark.range(1000).select(
+      col("id"),
+      when(col("id") % 10 =!= 0, lit(42L))
+        .otherwise(col("id") * 1000).as("s"))
+      .select(col("id"), col("s"), (col("s") + 100).as("e"))
+    val ks = RangeJoin.tuneKnobs(skewed, "s", "e")
+    assert(ks.saltFactor > 1, s"skew fixture must salt, got $ks")
+
+    // uniform: one interval per start bucket — p99/mean == 1, salt == 1
+    val uniform = spark.range(1000).select(
+      col("id"),
+      (col("id") * 100).as("s"),
+      (col("id") * 100 + 99).as("e"))
+    val ku = RangeJoin.tuneKnobs(uniform, "s", "e")
+    assert(ku.saltFactor == 1, s"uniform fixture must not salt, got $ku")
+  }
+
   test("hot-bucket salting is invisible to results: salted == unsalted, exactly once") {
     // every (left, right) pair must still meet exactly once — in the
     // canonical bucket at the LEFT row's salt group — so per-pair counts
