@@ -1532,57 +1532,139 @@ object EmbeddingQueries {
     // exactly 5 cid dirs.
     "e_index_reseed" -> ((s, dir) => {
       val (centT, postT) = ensureIncAppended(s, dir)
-      val top = incCellDrift(s, centT, postT)
-        .orderBy(col("l1_drift_q").desc, col("cid"))
-        .limit(5)
-        .select(col("cid"), col("l1_drift_q"))
-      val members = s.table(postT)
-        .join(broadcast(top.select(col("cid"))), Seq("cid"))
-        .select(col("cid"), col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
-      val withOld = members
-        .join(broadcast(s.table(centT)), Seq("cid"))
-        .withColumn("cos_old", cosCol)
-        .select(col("cid"), col("vec_id"), col("qv"), col("qn"), col("cos_old"))
-      // farthest member from the kept centroid = sub-seed B; its vector
-      // rides the argmax struct (unique (cos, vec_id) per row, so the
-      // trailing array fields never participate in the comparison)
-      val seedB = withOld
-        .groupBy(col("cid"))
-        .agg(max(struct(
-          (-col("cos_old")).as("nc"), (-col("vec_id")).as("nv"),
-          col("qv").as("bv"), col("qn").as("bn"))).as("m"))
-        .select(
-          col("cid"), (-col("m.nv")).as("seed_b"),
-          col("m.bv").as("bv"), col("m.bn").as("bn"))
-      val withB = withOld
-        .join(broadcast(seedB), Seq("cid"))
-        .withColumn("cos_b", expr(s"${dotSpark("qv", "bv")} / (sqrt(qn) * sqrt(bn))"))
-      withB
-        .select(
-          col("cid"), col("vec_id"),
-          (col("cos_old") >= col("cos_b")).as("to_a"),
-          col("cos_old"), col("cos_b"))
-        .groupBy(col("cid"))
-        .agg(
-          count(lit(1)).as("n_members"),
-          sum(when(col("to_a"), 1L).otherwise(0L)).as("n_a"),
-          sum(when(!col("to_a"), 1L).otherwise(0L)).as("n_b"),
-          sum((col("vec_id") % 1000000007L)
-            * when(col("to_a"), 31L).otherwise(17L)).as("asg_checksum"),
-          sum(expr("CAST(round(cos_old * 1000000) AS BIGINT)")).as("old_cos_e6_sum"),
-          sum(expr(
-            "CAST(round(CASE WHEN cos_old >= cos_b THEN cos_old ELSE cos_b END" +
-              " * 1000000) AS BIGINT)")).as("new_cos_e6_sum")
-        )
-        .join(broadcast(seedB), Seq("cid"))
-        .join(broadcast(top), Seq("cid"))
+      val p = reseedParts(s, centT, postT)
+      reseedPlanAgg(p)
         .select(
           col("cid"), col("l1_drift_q"), col("n_members"), col("seed_b"),
           col("n_a"), col("n_b"), col("asg_checksum"),
           col("old_cos_e6_sum"), col("new_cos_e6_sum"))
         .orderBy(col("l1_drift_q").desc, col("cid"))
+    }),
+
+    // RE-SEED APPLY — the final link of the maintenance loop (VERDICT
+    // r10 #2: build → append → drift → re-seed plan → APPLY → serve).
+    // [[ensureReseedApplied]] executes the plan as a real partition
+    // rewrite against a serving copy of the store: exactly the 5 planned
+    // cid dirs are overwritten with their A-members and ≤5 new seed-B
+    // dirs appear (dynamic partition overwrite; ReseedApplySpec asserts
+    // no other partition's files change), and the centroid table gains
+    // the 5 sub-seed-B rows. This query then reports, per split cell,
+    // the REALIZED outcome read back from the rewritten store — serving
+    // cell sizes n_a/n_b, the membership checksum, and the realized
+    // post-apply cosine-fit sum — next to the plan's predicted values
+    // (recomputed from the immutable base store). realized == planned
+    // holds by construction on a correct write path, so any divergence
+    // (a lost member, a wrong partition, a corrupted vector) breaks the
+    // hash against the mirror, which derives both from scratch. Scale:
+    // the plan is index-metadata scale (O(√n) cells), the rewrite and
+    // read-back touch only members-of-5-cells via broadcast semi-joins
+    // into the cid-partitioned store (partition-pruned at 100 TB).
+    "e_index_reseed_apply" -> ((s, dir) => {
+      val (centT, postT) = ensureIncAppended(s, dir)
+      val (rsdCentT, rsdPostT) = ensureReseedApplied(s, dir)
+      val p = reseedParts(s, centT, postT)
+      val plan = reseedPlanAgg(p)
+      // read-back: each split cell serves from two cells now — A kept
+      // the old cid, B lives at cid = seed_b (disjoint across cells:
+      // sub-seed B is a member of its cell). The degenerate single-
+      // member cell (seed_b == cid) serves from A alone.
+      val cellMap = plan.select(col("cid").as("cell"), col("cid").as("pair"),
+          lit(true).as("is_a"))
+        .union(plan.filter(col("seed_b") =!= col("cid"))
+          .select(col("seed_b").as("cell"), col("cid").as("pair"),
+            lit(false).as("is_a")))
+      val served = s.table(rsdPostT)
+        .join(broadcast(cellMap), col("cid") === col("cell"))
+        .select(col("pair"), col("is_a"), col("vec_id"),
+          col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+        .join(broadcast(s.table(rsdCentT)
+          .select(col("cid").as("cell"), col("cv"), col("cn"))), Seq("cell"))
+        .withColumn("cos", cosCol)
+        .groupBy(col("pair"))
+        .agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("is_a"), 1L).otherwise(0L)).as("n_b"),
+          sum((col("vec_id") % 1000000007L)
+            * when(col("is_a"), 31L).otherwise(17L)).as("asg_checksum"),
+          sum(expr("CAST(round(cos * 1000000) AS BIGINT)"))
+            .as("realized_new_cos_e6_sum"))
+      served
+        .join(broadcast(plan.select(
+          col("cid"), col("seed_b"), col("l1_drift_q"),
+          col("old_cos_e6_sum"),
+          col("new_cos_e6_sum").as("planned_new_cos_e6_sum"))),
+          col("pair") === col("cid"))
+        .select(
+          col("cid"), col("seed_b"), col("l1_drift_q"),
+          col("n_a"), col("n_b"), col("asg_checksum"),
+          col("old_cos_e6_sum"), col("planned_new_cos_e6_sum"),
+          col("realized_new_cos_e6_sum"),
+          (col("realized_new_cos_e6_sum") - col("old_cos_e6_sum")).as("gain_e6"))
+        .orderBy(col("cid"))
     })
   )
+
+  /** Shared internals of the re-seed plan (e_index_reseed and its apply
+    * path must compute the SPLIT from the same frames, or "realized ==
+    * planned" would compare two different plans): top-5 drift cells,
+    * sub-seed B per cell, and the per-member assignment frame.
+    */
+  private final case class ReseedParts(
+      top: DataFrame, seedB: DataFrame, withB: DataFrame)
+
+  private def reseedParts(
+      s: SparkSession, centT: String, postT: String): ReseedParts = {
+    val top = incCellDrift(s, centT, postT)
+      .orderBy(col("l1_drift_q").desc, col("cid"))
+      .limit(5)
+      .select(col("cid"), col("l1_drift_q"))
+    val members = s.table(postT)
+      .join(broadcast(top.select(col("cid"))), Seq("cid"))
+      .select(col("cid"), col("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val withOld = members
+      .join(broadcast(s.table(centT)), Seq("cid"))
+      .withColumn("cos_old", cosCol)
+      .select(col("cid"), col("vec_id"), col("qv"), col("qn"), col("cos_old"))
+    // farthest member from the kept centroid = sub-seed B; its vector
+    // rides the argmax struct (unique (cos, vec_id) per row, so the
+    // trailing array fields never participate in the comparison)
+    val seedB = withOld
+      .groupBy(col("cid"))
+      .agg(max(struct(
+        (-col("cos_old")).as("nc"), (-col("vec_id")).as("nv"),
+        col("qv").as("bv"), col("qn").as("bn"))).as("m"))
+      .select(
+        col("cid"), (-col("m.nv")).as("seed_b"),
+        col("m.bv").as("bv"), col("m.bn").as("bn"))
+    val withB = withOld
+      .join(broadcast(seedB), Seq("cid"))
+      .withColumn("cos_b", expr(s"${dotSpark("qv", "bv")} / (sqrt(qn) * sqrt(bn))"))
+    ReseedParts(top, seedB, withB)
+  }
+
+  /** The plan aggregate over [[reseedParts]] — e_index_reseed's output
+    * frame (unordered).
+    */
+  private def reseedPlanAgg(p: ReseedParts): DataFrame =
+    p.withB
+      .select(
+        col("cid"), col("vec_id"),
+        (col("cos_old") >= col("cos_b")).as("to_a"),
+        col("cos_old"), col("cos_b"))
+      .groupBy(col("cid"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("to_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("to_a"), 1L).otherwise(0L)).as("n_b"),
+        sum((col("vec_id") % 1000000007L)
+          * when(col("to_a"), 31L).otherwise(17L)).as("asg_checksum"),
+        sum(expr("CAST(round(cos_old * 1000000) AS BIGINT)")).as("old_cos_e6_sum"),
+        sum(expr(
+          "CAST(round(CASE WHEN cos_old >= cos_b THEN cos_old ELSE cos_b END" +
+            " * 1000000) AS BIGINT)")).as("new_cos_e6_sum")
+      )
+      .join(broadcast(p.seedB), Seq("cid"))
+      .join(broadcast(p.top), Seq("cid"))
 
   /** Builds the base index if absent and appends the held-out batch once
     * (ingest-once: if batch-range vec_ids are already present the append
@@ -1611,6 +1693,80 @@ object EmbeddingQueries {
         .write.mode("append").partitionBy("cid").saveAsTable(postT)
     }
     (centT, postT)
+  }
+
+  /** Drops the incremental-index store (and its derived reseed serving
+    * copy) for this corpus, forcing the next [[incIndexTables]] call to
+    * rebuild from scratch — test hook for suites that assert properties
+    * of a FRESH base build regardless of which suite touched the shared
+    * store first in the JVM.
+    */
+  private[graft] def dropIncStore(s: SparkSession, dir: String): Unit = {
+    val tag = OperatorQueries.sourceTag(s, s"$dir/embeddings.parquet")
+    Seq("graft_inc_cent_", "graft_inc_post_", "graft_rsd_cent_", "graft_rsd_post_")
+      .foreach(p => OperatorQueries.dropManagedTable(s, s"$p$tag"))
+  }
+
+  /** Executes the re-seed plan against a SERVING copy of the incremental
+    * store, build-once per corpus fingerprint. The base graft_inc_*
+    * tables stay immutable — they are what e_index_append/e_index_reseed
+    * and every oracle replay read, and what keeps this whole query
+    * family reproducible across runs — so the apply first clones the
+    * postings into graft_rsd_post_* (standing in for the serving copy a
+    * production deployment already has), then performs the actual
+    * maintenance operation: a DYNAMIC partition overwrite that rewrites
+    * exactly the 5 planned cid dirs with their A-members and writes the
+    * ≤5 new seed-B dirs. The rewrite itself is O(members-of-5-cells) —
+    * the clone is bookkeeping for oracle immutability, not part of the
+    * operation's scale cost. The centroid serving table adds the seed-B
+    * rows (sub-seed A IS the old centroid, so its row is unchanged).
+    * Apply-once: the rsd centroid table is written LAST, so its
+    * existence marks a completed apply.
+    */
+  private[graft] def ensureReseedApplied(
+      s: SparkSession, dir: String): (String, String) = {
+    val (centT, postT) = ensureIncAppended(s, dir)
+    val tag = OperatorQueries.sourceTag(s, s"$dir/embeddings.parquet")
+    val rsdCentT = s"graft_rsd_cent_$tag"
+    val rsdPostT = s"graft_rsd_post_$tag"
+    if (!s.catalog.tableExists(rsdCentT)) {
+      // drop BOTH (catalog entry AND warehouse dir): in a fresh JVM the
+      // in-memory catalog is empty but a previous session's dirs survive
+      // on disk, and saveAsTable(overwrite) refuses an un-cataloged
+      // location (LOCATION_ALREADY_EXISTS — caught by the r11 bench)
+      OperatorQueries.dropManagedTable(s, rsdCentT)
+      OperatorQueries.dropManagedTable(s, rsdPostT)
+      // serving clone (same cid-partitioned layout as the base store)
+      s.table(postT)
+        .repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").saveAsTable(rsdPostT)
+      val p = reseedParts(s, centT, postT)
+      val moved = p.withB.select(
+        col("vec_id"), col("qv").as("v"), col("qn").as("nrm"),
+        when(col("cos_old") >= col("cos_b"), col("cid"))
+          .otherwise(col("seed_b")).as("cid"))
+      val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        // dynamic overwrite: only partitions receiving rows are replaced
+        // — the 5 A dirs (kept cid) and the new B dirs (cid = seed_b);
+        // every other cid dir's files are untouched (spec-asserted)
+        moved
+          .repartition(col("cid"))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+          .write.mode("overwrite").insertInto(rsdPostT)
+      finally prevMode match {
+        case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.table(centT)
+        .unionByName(p.seedB
+          .filter(col("seed_b") =!= col("cid"))
+          .select(col("seed_b").as("cid"), col("bv").as("cv"), col("bn").as("cn")))
+        .coalesce(1)
+        .write.mode("overwrite").saveAsTable(rsdCentT)
+    }
+    (rsdCentT, rsdPostT)
   }
 
   /** Per-cell drift of the appended batch vs the stored centroid, from
@@ -1687,8 +1843,20 @@ object EmbeddingQueries {
         .foreach(OperatorQueries.dropManagedTable(s, _))
       OperatorQueries.dropManagedTable(s, centT)
       OperatorQueries.dropManagedTable(s, postT)
+      // the reseed serving store derives from these tables — drop every
+      // rsd table (any tag) whenever the base store rebuilds, so a stale
+      // apply can never serve against a fresh base
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n => n.startsWith("graft_rsd_cent_") || n.startsWith("graft_rsd_post_"))
+        .foreach(OperatorQueries.dropManagedTable(s, _))
       val base = vecs(s, dir).filter(col("vec_id") % 7 =!= 3)
-      val nBase = incBaseCountCache.getOrElseUpdate(dir, base.count())
+      // counted fresh on every (rare) build — a dir-keyed cache here went
+      // stale when the corpus at the dir was regenerated in-session,
+      // silently diverging seedMod from the mirror's sqrt(count(*))
+      // (ADVICE r10); the count is one scan on a path that also writes
+      // the full postings table, so caching saved nothing that matters
+      val nBase = base.count()
       val seedMod = math.max(50L, math.floor(math.sqrt(nBase.toDouble)).toLong)
       val cent = base
         .filter(col("vec_id") % seedMod === 0)
@@ -1709,9 +1877,6 @@ object EmbeddingQueries {
     }
     (centT, postT)
   }
-
-  private val incBaseCountCache =
-    scala.collection.concurrent.TrieMap.empty[String, Long]
 
   /** Shared DuckDB CTE chain for the incremental-index mirrors: base
     * split → √n̄ base seeding → exact base/batch argmax assignments →
@@ -2007,6 +2172,48 @@ object EmbeddingQueries {
          |  ag.asg_checksum, ag.old_cos_e6_sum, ag.new_cos_e6_sum
          |FROM ag JOIN sb ON sb.cid = ag.cid JOIN top5 t ON t.cid = ag.cid
          |ORDER BY t.l1_drift_q DESC, ag.cid""".stripMargin,
+    // Apply mirror: the engine reports realized values read back from
+    // the rewritten serving store; the mirror derives the same split
+    // from scratch (realized == planned on a correct write path, in both
+    // engines' identical fixed-point arithmetic), so any engine-side
+    // write/read-back divergence breaks the hash. Same n×k family.
+    "e_index_reseed_apply" ->
+      s"""$incIdxCtes,
+         |mem AS (
+         |  SELECT g.cid, b.vec_id, b.v, b.nrm
+         |  FROM basg g JOIN base b ON b.vec_id = g.vec_id
+         |  UNION ALL
+         |  SELECT g.cid, t.vec_id, t.v, t.nrm
+         |  FROM gasg g JOIN batch t ON t.vec_id = g.vec_id),
+         |top5 AS (SELECT cid, l1_drift_q FROM dr
+         |         ORDER BY l1_drift_q DESC, cid LIMIT 5),
+         |mo AS (SELECT m.cid, m.vec_id, m.v, m.nrm,
+         |         ${cosSql("m.v", "c.v", "m.nrm", "c.nrm")} AS cos_old
+         |       FROM mem m JOIN top5 USING (cid) JOIN cent c ON c.cid = m.cid),
+         |sb AS (SELECT cid, vec_id AS seed_b, v AS bv, nrm AS bn FROM mo
+         |       QUALIFY row_number() OVER (PARTITION BY cid
+         |         ORDER BY cos_old ASC, vec_id ASC) = 1),
+         |wb AS (SELECT mo.cid, mo.vec_id, mo.cos_old,
+         |         ${cosSql("mo.v", "sb.bv", "mo.nrm", "sb.bn")} AS cos_b
+         |       FROM mo JOIN sb ON sb.cid = mo.cid),
+         |ag AS (SELECT cid, CAST(count(*) FILTER (cos_old >= cos_b) AS BIGINT) AS n_a,
+         |        CAST(count(*) FILTER (cos_old < cos_b) AS BIGINT) AS n_b,
+         |        CAST(sum((vec_id % 1000000007)
+         |          * CASE WHEN cos_old >= cos_b THEN 31 ELSE 17 END) AS BIGINT)
+         |          AS asg_checksum,
+         |        CAST(sum(CAST(round(cos_old * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS old_cos_e6_sum,
+         |        CAST(sum(CAST(round(CASE WHEN cos_old >= cos_b THEN cos_old
+         |                                 ELSE cos_b END * 1000000) AS BIGINT)) AS BIGINT)
+         |          AS new_cos_e6_sum
+         |      FROM wb GROUP BY cid)
+         |SELECT ag.cid, sb.seed_b, t.l1_drift_q, ag.n_a, ag.n_b,
+         |  ag.asg_checksum, ag.old_cos_e6_sum,
+         |  ag.new_cos_e6_sum AS planned_new_cos_e6_sum,
+         |  ag.new_cos_e6_sum AS realized_new_cos_e6_sum,
+         |  ag.new_cos_e6_sum - ag.old_cos_e6_sum AS gain_e6
+         |FROM ag JOIN sb ON sb.cid = ag.cid JOIN top5 t ON t.cid = ag.cid
+         |ORDER BY ag.cid""".stripMargin,
     // Recall@10 of the IVF search vs the exact brute-force top-10 — both
     // paths mirrored above; hits counted over the (query, neighbor) pairs
     // the two rankings share.

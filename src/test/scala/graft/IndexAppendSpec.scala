@@ -36,7 +36,10 @@ class IndexAppendSpec extends SparkSpecBase {
   }
 
   test("e_index_append: append-not-rewrite, ingest-once, corpus never re-assigned") {
-    // base build only — no batch rows yet
+    // base build only — no batch rows yet (force a fresh store: another
+    // suite sharing the JVM, e.g. ReseedApplySpec, may already have
+    // appended the batch)
+    EmbeddingQueries.dropIncStore(spark, Sf0001)
     val (_, postT) = EmbeddingQueries.incIndexTables(spark, Sf0001)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val postDir = Paths.get(wh, postT.toLowerCase)
