@@ -346,6 +346,89 @@ object CurationQueries {
         .orderBy(col("source"))
     }),
 
+    // Trained-classifier TRAINING at corpus scale (VERDICT r10 #5 — the
+    // half of the CCNet/fastText quality-filter story t_quality_lr_score
+    // leaves out: a curation pipeline FITS its classifier on the cluster
+    // before it scores with it). Five batch-gradient iterations of a
+    // linear model with a hard-sigmoid link (the piecewise-linear
+    // sigmoid of Collobert 2004 / standard quantized-NN practice:
+    // p = clamp(0, 1, 1/2 + z/4)) over four integer document features
+    // (bias; length clamped to 100; type-token ratio ×100; stopword
+    // ratio ×100), labels y = [heuristic quality ≥ 0.5] — the bootstrap
+    // labeling a real pipeline does from a seed heuristic before
+    // human-labeled data exists. EVERYTHING is exact BIGINT fixed point:
+    // z = Σ w_q·x, p_e6 = clamp(0, 1e6, 5e5 + z div 4000), gradient
+    // g_j = Σ x_j·(y_e6 − p_e6), update w_q += g_j div (n·50) — an LMS
+    // step with η = 1/50 in quantized units. Spark `div` and DuckDB `//`
+    // both truncate toward zero (probed, round 11), so even the signed
+    // quotients in the update are bit-portable; integer sums are
+    // order-independent, so the learned weights are identical across
+    // engines and partitionings. Overflow: per-doc |x·err| ≤ 1e8, so
+    // the BIGINT gradient sum holds to ~9e10 documents; |w_q| stays
+    // ~1e7 (5 steps × ≤2e6), so |z| ≤ 4e9 ≪ 2^63.
+    //
+    // Scale: the feature frame is computed ONCE and checkpointed (6
+    // consumers: 5 gradient passes + the final scoring pass — the
+    // DedupQueries.hashedSets materialization idiom); each iteration is
+    // one scan of that slim frame plus a ONE-ROW aggregate, with the
+    // weights re-entering as a broadcast 1-row cross join (the
+    // t_bpe_train_merges no-collect loop). At 100 TB: 6 linear scans of
+    // a 6-column integer frame, six 1-row exchanges, zero driver loops.
+    "t_quality_lr_fit" -> ((s, dir) => {
+      import org.apache.spark.sql.DataFrame
+      val feats = table(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("source"),
+          lit(1L).as("x0"),
+          least(size(col("ws")), lit(100)).cast("long").as("x1"),
+          expr("CAST(size(array_distinct(ws)) * 100 div size(ws) AS BIGINT)").as("x2"),
+          expr(s"CAST(${TextQueries.stopCountSpark} * 100 div size(ws) AS BIGINT)").as("x3"),
+          when(expr(TextQueries.qualitySpark) >= 0.5, lit(1000000L))
+            .otherwise(lit(0L)).as("y"))
+        .localCheckpoint()
+      val pCol = greatest(lit(0L), least(lit(1000000L),
+        lit(500000L) + call_function("div",
+          col("w0") * col("x0") + col("w1") * col("x1")
+            + col("w2") * col("x2") + col("w3") * col("x3"),
+          lit(4000L))))
+      def step(w: DataFrame): DataFrame = feats
+        .crossJoin(broadcast(w))
+        .withColumn("p", pCol)
+        .withColumn("err", col("y") - col("p"))
+        .agg(
+          max(col("w0")).as("pw0"), max(col("w1")).as("pw1"),
+          max(col("w2")).as("pw2"), max(col("w3")).as("pw3"),
+          sum(col("x0") * col("err")).as("g0"),
+          sum(col("x1") * col("err")).as("g1"),
+          sum(col("x2") * col("err")).as("g2"),
+          sum(col("x3") * col("err")).as("g3"),
+          count(lit(1)).as("n"))
+        .select(
+          (col("pw0") + call_function("div", col("g0"), col("n") * 50)).as("w0"),
+          (col("pw1") + call_function("div", col("g1"), col("n") * 50)).as("w1"),
+          (col("pw2") + call_function("div", col("g2"), col("n") * 50)).as("w2"),
+          (col("pw3") + call_function("div", col("g3"), col("n") * 50)).as("w3"))
+        .localCheckpoint() // 1 row, two consumers (next step + scoring)
+      val w0 = s.range(1).select(
+        lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"))
+      val learned = (1 to 5).foldLeft(w0)((w, _) => step(w))
+      feats
+        .crossJoin(broadcast(learned))
+        .withColumn("p", pCol)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("p") >= 500000L, 1L).otherwise(0L)).as("n_pass"),
+          max(col("w0")).as("w0_q"), max(col("w1")).as("w1_q"),
+          max(col("w2")).as("w2_q"), max(col("w3")).as("w3_q"))
+        .select(
+          col("source"), col("n_docs"), col("n_pass"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_rate_e6"),
+          col("w0_q"), col("w1_q"), col("w2_q"), col("w3_q"))
+        .orderBy(col("source"))
+    }),
+
     // Iterated BPE training (Sennrich et al. 2016, arXiv:1508.07909) —
     // the full learn loop, not just `t_bpe_merge_step`'s first argmax:
     // three merge rounds, each recounting adjacent-symbol pairs AFTER
@@ -588,6 +671,51 @@ object CurationQueries {
          |  CAST(sum(c.cnt) AS BIGINT) AS n_docs, min(c.qb) AS min_qb, max(c.qb) AS max_qb
          |FROM c JOIN t ON t.source = c.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    // Mirrors the 5 unrolled LMS iterations in the same BIGINT fixed
+    // point (both engines truncate integer division toward zero —
+    // probed), so gradients, weights, and the learned pass rates match
+    // bit-for-bit. `f` is pinned MATERIALIZED: it feeds all 5 gradient
+    // passes plus scoring, and DuckDB's default CTE inlining would
+    // re-split the corpus 6× (the o_pagerank_copurchase lesson).
+    "t_quality_lr_fit" -> {
+      def iter(k: Int): String =
+        s"""p$k AS (SELECT f.y, f.x0, f.x1, f.x2, f.x3,
+           |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+           |      500000 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 4000)) AS p
+           |  FROM f CROSS JOIN w${k - 1} w),
+           |g$k AS (SELECT CAST(sum(x0*(y-p)) AS BIGINT) AS g0,
+           |    CAST(sum(x1*(y-p)) AS BIGINT) AS g1,
+           |    CAST(sum(x2*(y-p)) AS BIGINT) AS g2,
+           |    CAST(sum(x3*(y-p)) AS BIGINT) AS g3,
+           |    CAST(count(*) AS BIGINT) AS n FROM p$k),
+           |w$k AS (SELECT w.w0 + g.g0 // (g.n*50) AS w0, w.w1 + g.g1 // (g.n*50) AS w1,
+           |    w.w2 + g.g2 // (g.n*50) AS w2, w.w3 + g.g3 // (g.n*50) AS w3
+           |  FROM w${k - 1} w CROSS JOIN g$k g)""".stripMargin
+      s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+         |f AS MATERIALIZED (SELECT source,
+         |    CAST(1 AS BIGINT) AS x0,
+         |    CAST(least(len(ws), 100) AS BIGINT) AS x1,
+         |    CAST(len(list_distinct(ws)) * 100 // len(ws) AS BIGINT) AS x2,
+         |    CAST(${TextQueries.stopCountDuck} * 100 // len(ws) AS BIGINT) AS x3,
+         |    CASE WHEN (${TextQueries.qualityDuck}) >= 0.5
+         |         THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+         |  FROM d),
+         |w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |       CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+         |${(1 to 5).map(iter).mkString(",\n")},
+         |sc AS (SELECT f.source,
+         |    greatest(CAST(0 AS BIGINT), least(CAST(1000000 AS BIGINT),
+         |      500000 + (w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3) // 4000)) AS p,
+         |    w.w0, w.w1, w.w2, w.w3
+         |  FROM f CROSS JOIN w5 w)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  (CAST(sum(CASE WHEN p >= 500000 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS pass_rate_e6,
+         |  CAST(max(w0) AS BIGINT) AS w0_q, CAST(max(w1) AS BIGINT) AS w1_q,
+         |  CAST(max(w2) AS BIGINT) AS w2_q, CAST(max(w3) AS BIGINT) AS w3_q
+         |FROM sc GROUP BY source ORDER BY source""".stripMargin
     },
     "t_quality_lr_score" ->
       s"""WITH d AS (SELECT source, string_split(text, ' ') AS ws FROM documents),

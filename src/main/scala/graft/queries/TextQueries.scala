@@ -36,6 +36,16 @@ object TextQueries {
        | + size(array_distinct(ws)) * 0.3D / size(ws)
        | + CASE WHEN size(filter(ws, t -> array_contains($stopArr, t))) * 10 >= size(ws) THEN 0.3D ELSE 0.0D END, 6)""".stripMargin
 
+  /** Stopword count over a word-array column `ws` (feature input for the
+    * quality classifier pair in [[CurationQueries]]).
+    */
+  private[queries] def stopCountSpark =
+    s"size(filter(ws, t -> array_contains($stopArr, t)))"
+
+  /** DuckDB mirror of [[stopCountSpark]]. */
+  private[queries] def stopCountDuck =
+    s"len(list_filter(ws, t -> list_contains($stopList, t)))"
+
   /** DuckDB mirror of [[qualitySpark]]. */
   private[queries] val qualityDuck =
     s"""round(CASE WHEN len(ws) >= 20 THEN CAST(0.4 AS DOUBLE) ELSE len(ws) * CAST(0.02 AS DOUBLE) END
@@ -832,6 +842,20 @@ object TextQueries {
     // exchanges, no sort, no double compute, no materialization.
     // 115 s → 72-96 s warm at sf10 (3-rep spread); plans ≤ sf1
     // value-identical (spec and oracle unchanged in output).
+    //
+    // ACCEPTED COST (r8, reaffirmed r11 — this is the floor, not a
+    // leftover): ~16.5 s at sf1 / ~87 s at sf10 is the span-df exchange
+    // itself — every distinct-8-gram occurrence must meet its corpus-
+    // wide group once, and that IS the query's semantics. The remaining
+    // idea on the table, sharing the hashed span frame with
+    // t_span_dedup's checkpoint, was evaluated round 11 and rejected:
+    // the universes differ (t_span_dedup spans include its planted +3M
+    // copies — filterable, not fatal), but cross-query reuse means
+    // pinning a CORPUS-SCALE span frame in executor storage for the
+    // rest of the session, and the round-8 probes measured exactly that
+    // pin at 100-375 s with high variance plus memory pressure on every
+    // later query. The exchange floor is cheaper than the pin at every
+    // scale that matters.
     "t_source_novelty" -> ((s, dir) => {
       graft.functions.CharRollingHash.register(s)
       val spans = table(s, dir, "documents")
