@@ -14,6 +14,13 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (args.headOption.contains("names")) {
+      // print every registered query name (sweep batching reads this —
+      // the authoritative list is SparkEntry.queries, not a source grep)
+      SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("explain")) {
       args.drop(1).foreach { name =>
         println(s"===== $name =====")
