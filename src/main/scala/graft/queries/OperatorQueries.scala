@@ -233,11 +233,22 @@ object OperatorQueries {
       // change the result set, only the straggler profile
       // (RangeJoinSpec asserts auto ≡ hand).
       val knobs = RangeJoin.tuneKnobs(iv, "s", "e")
+      // A/B instrument (unset in production — the tuned knobs are the
+      // default): SPARK_GRAFT_OVERLAP_KNOBS="<widthMicros>,<salt>" pins
+      // the knobs so a same-day, same-host run can price auto vs hand
+      // values against each other — the only honest way to separate
+      // tuner effect from this host's documented multi-minute stall
+      // drift. Results are knob-independent either way (RangeJoinSpec).
+      val (kWidth, kSalt) = sys.env.get("SPARK_GRAFT_OVERLAP_KNOBS") match {
+        case Some(v) =>
+          val Array(w, k) = v.split(','); (w.trim.toLong, k.trim.toInt)
+        case None => (knobs.bucketWidth, knobs.saltFactor)
+      }
       RangeJoin
         .overlapJoin(l, r, "s1", "e1", "s2", "e2",
-          bucketWidth = knobs.bucketWidth,
+          bucketWidth = kWidth,
           extraCond = Some(col("u1") < col("u2")),
-          saltFactor = knobs.saltFactor)
+          saltFactor = kSalt)
         .select(
           (col("u1") % 64).as("bucket"),
           call_function(
