@@ -105,9 +105,20 @@ object RangeJoin {
     *
     * At 100 TB both passes are map-side partial aggregations over two
     * LONG columns (the percentile sketches merge in one tiny exchange);
-    * against the 31m15s sf10 join they tune, the pre-pass is noise.
+    * against the ~45-min sf10 join they tune, the pre-pass is noise.
     * Knob choice never affects RESULTS — any (width, salt) returns the
-    * same pair set (RangeJoinSpec) — only the wall-clock profile.
+    * same pair set (RangeJoinSpec; also confirmed bit-identical at sf10
+    * between salt 3 and salt 4, round 11) — only the wall-clock profile.
+    *
+    * Validated by a same-day sf10 A/B (round 11, BASELINE.md): the tuner
+    * chose salt=3 (workSkew 2.06) against the round-10 hand value 4, and
+    * measured 44m57s vs the hand knobs' 52m30s under identical
+    * conditions — 14% faster. The r10 measurement that favored salt=4
+    * predated the full-row salt hash below; once coincident starts
+    * spread correctly, salt=4's extra probe replication costs more than
+    * its straggler relief — exactly the trade this ratio prices. Only
+    * same-day A/Bs are meaningful for this operator: the host's
+    * day-scale drift on ~45-min runs exceeds the knob effect.
     */
   def tuneKnobs(
       intervals: DataFrame,
