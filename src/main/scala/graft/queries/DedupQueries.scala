@@ -322,6 +322,262 @@ object DedupQueries {
     labels
   }
 
+  // ------------------------------------------------------------------
+  // Persisted dedup index store (VERDICT r11 #1): the same stored-index
+  // discipline the ANN tier has (EmbeddingQueries.ivfIndexTables /
+  // ensureIncAppended), for the operator a 100 TB pipeline runs FIRST
+  // and DAILY. d_incremental_dedup rebuilds its corpus-side artifacts
+  // inline every run — O(corpus) per batch; here the corpus artifacts
+  // are built ONCE into warehouse tables and every probe/append after
+  // that is O(batch):
+  //   graft_dix_doc_<tag>  — (dp | doc_id, d1, d2, hs): per-doc exact
+  //     digest PAIR + hashed 3-gram shingle set, partitioned on
+  //     dp = doc_id % 64 so candidate verification reads only the
+  //     partitions holding candidate docs (DPP off the broadcast
+  //     candidate list — the fat `hs` column is never full-scanned by
+  //     a probe; the exact semi-join reads only the narrow d1/d2
+  //     columns, column-pruned).
+  //   graft_dix_band_<tag> — (bp | doc_id, band, bkey): exploded MinHash
+  //     band-key postings, partitioned on the band-key prefix
+  //     bp = bkey % 64 (bounded dirs, one file per prefix at write; a
+  //     probe joins on (bp, band, bkey) so the store side arrives
+  //     co-located and prunable).
+  // Digests are engine-portable: d1 = char_rolling_hash(text),
+  // d2 = char_rolling_hash(reverse(text)) — the PAIR has ~P² ≈ 1e18 key
+  // space, so digest-pair equality IS text equality at any corpus scale
+  // that fits a cluster (expected collisions at sf10 ≈ 6e-8), while the
+  // DuckDB oracle replays the identical arithmetic bit-for-bit. This is
+  // the move the d_incremental_dedup scaladoc promised ("at 100 TB the
+  // exact semi-join runs on the persisted digest column"): the probe
+  // never touches corpus TEXT at all.
+  // ------------------------------------------------------------------
+
+  /** Incremental-dedup plant, corpus side: docs with doc_id % 5 != 0. */
+  private[graft] def incBase(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 5 =!= 0)
+
+  /** Incremental-dedup plant, batch side: docs with doc_id % 5 == 0
+    * ∪ exact copies of every 7th corpus doc (+3000000) ∪ 2-word-truncated
+    * near copies of every 11th corpus doc (+4000000) ∪ exact copies of
+    * every 13th raw batch doc (+5000000).
+    */
+  private[graft] def incBatch(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchRaw = docs.filter(col("doc_id") % 5 === 0)
+    val trunc =
+      expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ')")
+    batchRaw
+      .unionAll(
+        base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .unionAll(
+        base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), trunc.as("text")))
+      .unionAll(
+        batchRaw.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+  }
+
+  /** Partition fan-out of the store tables: 64 dirs each — bounded
+    * directory count, and at bench SF one file per partition. At 100 TB
+    * the same prefixes simply hold more files; the probe-side join and
+    * DPP shapes are unchanged.
+    */
+  private[graft] val DixParts = 64
+
+  /** (doc_id, d1, d2, hs) index features of a (doc_id, text) frame in ONE
+    * text scan: the exact digest pair + the hashed 3-gram shingle set
+    * (same let-bound word-hash pipeline as [[hashedSetsOf]] — each word
+    * char-hashed once; see that scaladoc for why the checkpoint
+    * materializes the features before multi-consumer fan-out).
+    */
+  private def docFeaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.SketchExpressions.register(s)
+    docs
+      .withColumn("d1", expr("char_rolling_hash(text)"))
+      .withColumn("d2", expr("char_rolling_hash(reverse(text))"))
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"), col("d1"), col("d2"),
+        expr("transform(ws, w -> char_rolling_hash(w))").as("wh"))
+      .select(
+        col("doc_id"), col("d1"), col("d2"),
+        expr(s"array_distinct(flatten(transform(array(wh), wh -> ${hashedNgramsSpark("wh", 3)})))")
+          .as("hs"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
+      .localCheckpoint()
+  }
+
+  /** Builds (or reuses) the persisted corpus-side dedup index for this
+    * corpus fingerprint; returns (docTable, bandTable). `rebuild = true`
+    * also drops the append DELTA tables — a rebuilt base invalidates a
+    * previous append's ingest-once marker.
+    */
+  private[graft] def dedupIndexTables(
+      s: SparkSession, dir: String, rebuild: Boolean): (String, String) = {
+    val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
+    val docT = s"graft_dix_doc_$tag"
+    val bandT = s"graft_dix_band_$tag"
+    if (rebuild || !s.catalog.tableExists(docT) || !s.catalog.tableExists(bandT)) {
+      // orphan sweep: a regenerated corpus changes the tag — drop any
+      // same-prefix table from a previous tag before writing this one
+      s.catalog.listTables().collect()
+        .map(_.name)
+        .filter(n =>
+          Seq("graft_dix_doc_", "graft_dix_band_", "graft_dxd_doc_", "graft_dxd_band_")
+            .exists(p => n.startsWith(p) && n != s"$p$tag"))
+        .foreach(OperatorQueries.dropManagedTable(s, _))
+      Seq(docT, bandT, s"graft_dxd_doc_$tag", s"graft_dxd_band_$tag")
+        .foreach(OperatorQueries.dropManagedTable(s, _))
+      val feats = docFeaturesOf(s, incBase(s, dir))
+      feats
+        .withColumn("dp", pmod(col("doc_id"), lit(DixParts.toLong)).cast("int"))
+        .repartition(col("dp"))
+        .write.mode("overwrite").partitionBy("dp").saveAsTable(docT)
+      bandKeysOf(feats.select(col("doc_id"), col("hs")))
+        .withColumn("bp", pmod(col("bkey"), lit(DixParts.toLong)).cast("int"))
+        .repartition(col("bp"))
+        .write.mode("overwrite").partitionBy("bp").saveAsTable(bandT)
+    }
+    (docT, bandT)
+  }
+
+  /** Test hook: drop the whole dedup index store (base + delta) for this
+    * corpus, forcing the next [[dedupIndexTables]] call to rebuild.
+    */
+  private[graft] def dropDixStore(s: SparkSession, dir: String): Unit = {
+    val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
+    Seq("graft_dix_doc_", "graft_dix_band_", "graft_dxd_doc_", "graft_dxd_band_")
+      .foreach(p => OperatorQueries.dropManagedTable(s, s"$p$tag"))
+  }
+
+  /** Per-doc incremental-dedup verdicts answered OFF THE STORE — the
+    * corpus parquet is never read: exact-vs-corpus is a digest-pair
+    * semi-join against the store's narrow d1/d2 columns; near-vs-corpus
+    * probes the persisted band postings on (bp, band, bkey) and verifies
+    * candidates against store shingle sets read through dp partition
+    * pruning; within-batch logic is identical to d_incremental_dedup's
+    * (batch-only work). Cost: O(|batch|) feature pass + O(|batch|·bands)
+    * probe rows + O(candidates) verification.
+    */
+  private def probeVerdicts(
+      s: SparkSession, dir: String, docT: String, bandT: String): DataFrame = {
+    val batch = incBatch(s, dir)
+    val bf = docFeaturesOf(s, batch)
+    val setsBatch = bf.select(col("doc_id"), col("hs"))
+
+    // exact vs corpus: digest-pair semi-join (reads only d1/d2 columns)
+    val exactBC = bf
+      .join(s.table(docT).select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+      .withColumn("f_exact_bc", lit(1))
+
+    // near vs corpus: batch band keys probe the persisted postings
+    val bandsBatch = bandKeysOf(setsBatch)
+    val candBC = bandsBatch
+      .withColumn("bp", pmod(col("bkey"), lit(DixParts.toLong)).cast("int"))
+      .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(
+        s.table(bandT)
+          .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("bp", "band", "bkey"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // verify on store shingle sets: the dp key is derivable from the
+    // candidate's doc_b, so the broadcast candidate list prunes the
+    // store's fat hs column down to the candidate partitions (DPP)
+    val storeSets = s.table(docT)
+      .select(col("dp"), col("doc_id").as("doc_b"), col("hs").as("hs_b"))
+    val aSets = setsBatch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
+    val nearBC = candBC
+      .withColumn("dp", pmod(col("doc_b"), lit(DixParts.toLong)).cast("int"))
+      .join(aSets, "doc_a")
+      .join(storeSets, Seq("dp", "doc_b"))
+      .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
+      .withColumn(
+        "jac_raw",
+        col("i").cast("double") /
+          (size(col("hs_a")) + size(col("hs_b")) - col("i")).cast("double"))
+      .filter(col("jac_raw") >= JaccardT)
+      .select(col("doc_a").as("doc_id"))
+      .distinct()
+      .withColumn("f_near_bc", lit(1))
+
+    // within-batch: identical to d_incremental_dedup (earlier doc wins)
+    val keeperBB = batch
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"))
+    val exactBB = batch
+      .join(keeperBB, "text")
+      .filter(col("doc_id") > col("keeper"))
+      .select(col("doc_id"))
+    val candBB = bandsBatch
+      .select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(
+        bandsBatch.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+        Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val nearBB = verifyJaccard2(candBB, setsBatch, setsBatch)
+      .select(col("doc_b").as("doc_id"))
+    val dupBB = exactBB.unionAll(nearBB).distinct().withColumn("f_dup_bb", lit(1))
+
+    batch
+      .select(col("doc_id"))
+      .join(exactBC, Seq("doc_id"), "left")
+      .join(nearBC, Seq("doc_id"), "left")
+      .join(dupBB, Seq("doc_id"), "left")
+      .withColumn(
+        "verdict",
+        when(col("f_exact_bc").isNotNull, "exact_dup_corpus")
+          .when(col("f_near_bc").isNotNull, "near_dup_corpus")
+          .when(col("f_dup_bb").isNotNull, "dup_in_batch")
+          .otherwise("new"))
+      .select(col("doc_id"), col("verdict"))
+  }
+
+  /** Ensures the deduped batch is ingested ONCE into append DELTA tables
+    * (graft_dxd_*) alongside the immutable base store — the production
+    * layout: a daily append writes O(batch) delta files and NEVER
+    * rewrites (or even copies) the corpus-sized base; the serving index
+    * is base ∪ delta. Appended docs are exactly the batch docs whose
+    * probe verdict is 'new' (every dup's representative is already
+    * reachable in the store). Ingest-once marker: the delta DOC table is
+    * written LAST, so its existence proves a completed append (the ANN
+    * tier's ensureReseedApplied ordering trick).
+    */
+  private[graft] def ensureDedupAppended(
+      s: SparkSession, dir: String): (String, String, String, String) = {
+    val (docT, bandT) = dedupIndexTables(s, dir, rebuild = false)
+    val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
+    val dDocT = s"graft_dxd_doc_$tag"
+    val dBandT = s"graft_dxd_band_$tag"
+    if (!s.catalog.tableExists(dDocT)) {
+      OperatorQueries.dropManagedTable(s, dDocT)
+      OperatorQueries.dropManagedTable(s, dBandT)
+      val newIds = probeVerdicts(s, dir, docT, bandT)
+        .filter(col("verdict") === "new")
+        .select(col("doc_id"))
+      val keep = docFeaturesOf(s, incBatch(s, dir))
+        .join(newIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      bandKeysOf(keep.select(col("doc_id"), col("hs")))
+        .withColumn("bp", pmod(col("bkey"), lit(DixParts.toLong)).cast("int"))
+        .repartition(col("bp"))
+        .write.mode("overwrite").partitionBy("bp").saveAsTable(dBandT)
+      keep
+        .withColumn("dp", pmod(col("doc_id"), lit(DixParts.toLong)).cast("int"))
+        .repartition(col("dp"))
+        .write.mode("overwrite").partitionBy("dp").saveAsTable(dDocT)
+    }
+    (docT, bandT, dDocT, dBandT)
+  }
+
   val queries: Map[String, Fn] = Map(
     // Exact dedup, counts: one hash agg over the corpus.
     "d_exact_dedup_counts" -> ((s, dir) =>
@@ -432,21 +688,8 @@ object DedupQueries {
     // column instead of raw text; here text equality keeps the DuckDB
     // oracle byte-exact.
     "d_incremental_dedup" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val base = docs.filter(col("doc_id") % 5 =!= 0)
-      val batchRaw = docs.filter(col("doc_id") % 5 === 0)
-      val trunc =
-        expr("array_join(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)), ' ')")
-      val batch = batchRaw
-        .unionAll(
-          base.filter(col("doc_id") % 7 === 0)
-            .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
-        .unionAll(
-          base.filter(col("doc_id") % 11 === 0)
-            .select((col("doc_id") + 4000000L).as("doc_id"), trunc.as("text")))
-        .unionAll(
-          batchRaw.filter(col("doc_id") % 13 === 0)
-            .select((col("doc_id") + 5000000L).as("doc_id"), col("text")))
+      val base = incBase(s, dir)
+      val batch = incBatch(s, dir)
 
       // exact vs corpus: semi-join against the corpus text index
       val exactBC = batch
@@ -507,6 +750,89 @@ object DedupQueries {
         .groupBy(col("verdict"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
         .orderBy(col("verdict"))
+    }),
+
+    // DEDUP INDEX BUILD (VERDICT r11 #1) — persist the corpus-side dedup
+    // index once: digest-pair + shingle-set doc table (dp-partitioned)
+    // and MinHash band-key postings (band-key-prefix-partitioned); see
+    // the section scaladoc above [[incBase]]. Output is the build AUDIT
+    // read back from the PERSISTED tables (not the in-flight frames —
+    // a write-path bug cannot hide): row counts, digest cardinality, and
+    // doc-bound checksums over digests / shingles / band keys. The
+    // DuckDB mirror replays the identical digest + minhash arithmetic
+    // from the raw corpus. Scale: one corpus feature pass + two
+    // partitioned writes; the audit is two scans of the store.
+    "d_index_build" -> ((s, dir) => {
+      val (docT, bandT) = dedupIndexTables(s, dir, rebuild = true)
+      val docAgg = s.table(docT).agg(
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("d1") * lit(P) + col("d2")).as("n_distinct_digests"),
+        sum((col("doc_id") % 1009L) * (col("d1") % 1000003L)).as("digest_checksum"),
+        sum(expr("aggregate(hs, CAST(0 AS BIGINT), (a, x) -> a + x % 1000003)"))
+          .as("shingle_checksum"))
+      val bandAgg = s.table(bandT).agg(
+        count(lit(1)).as("n_band_rows"),
+        count_distinct(col("bp")).as("n_partitions"),
+        sum((col("doc_id") % 101L) * (col("bkey") % 1000003L)).as("band_checksum"))
+      docAgg
+        .crossJoin(broadcast(bandAgg))
+        .select(
+          col("n_docs"), col("n_distinct_digests"), col("digest_checksum"),
+          col("shingle_checksum"), col("n_band_rows"), col("n_partitions"),
+          col("band_checksum"))
+    }),
+
+    // DEDUP INDEX PROBE — d_incremental_dedup's verdicts answered OFF
+    // THE PERSISTED STORE (build-on-miss keeps the query self-contained;
+    // in steady state the store is warm and this is the daily-ingest
+    // cost): O(batch) feature pass, digest-pair semi-join on the store's
+    // narrow columns, band probe + DPP-pruned candidate verification —
+    // the corpus parquet is NEVER read and nothing here is O(corpus).
+    // Same output contract as d_incremental_dedup; DedupIndexSpec
+    // asserts probe ≡ inline verdicts and that the base store's files
+    // are byte-identical after a probe.
+    "d_index_probe" -> ((s, dir) => {
+      val (docT, bandT) = dedupIndexTables(s, dir, rebuild = false)
+      probeVerdicts(s, dir, docT, bandT)
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy(col("verdict"))
+    }),
+
+    // DEDUP INDEX APPEND — ingest the deduped batch (verdict = 'new')
+    // ONCE into O(batch) DELTA tables next to the immutable base store
+    // (the serving index is base ∪ delta; the corpus-sized base is never
+    // rewritten or copied — DedupIndexSpec asserts its files stay
+    // byte-identical and that a re-run appends nothing). Output is the
+    // post-append serving-index audit read back from base ∪ delta, plus
+    // the appended-row count; the mirror recomputes the verdicts and
+    // replays the audit arithmetic over base ∪ new-docs from scratch.
+    "d_index_append" -> ((s, dir) => {
+      val (docT, bandT, dDocT, dBandT) = ensureDedupAppended(s, dir)
+      val cols = Seq("doc_id", "d1", "d2", "hs").map(col)
+      val docs = s.table(docT).select(cols: _*)
+        .unionAll(s.table(dDocT).select(cols: _*))
+      val bands = s.table(bandT).select(col("doc_id"), col("bkey"))
+        .unionAll(s.table(dBandT).select(col("doc_id"), col("bkey")))
+      val docAgg = docs.agg(
+        count(lit(1)).as("n_docs_total"),
+        count_distinct(col("d1") * lit(P) + col("d2")).as("n_distinct_digests"),
+        sum((col("doc_id") % 1009L) * (col("d1") % 1000003L)).as("digest_checksum"),
+        sum(expr("aggregate(hs, CAST(0 AS BIGINT), (a, x) -> a + x % 1000003)"))
+          .as("shingle_checksum"))
+      val bandAgg = bands.agg(
+        count(lit(1)).as("n_band_rows"),
+        sum((col("doc_id") % 101L) * (col("bkey") % 1000003L)).as("band_checksum"))
+      val appAgg = s.table(dDocT).agg(
+        count(lit(1)).as("n_appended"),
+        sum(col("doc_id")).as("appended_id_checksum"))
+      docAgg
+        .crossJoin(broadcast(bandAgg))
+        .crossJoin(broadcast(appAgg))
+        .select(
+          col("n_docs_total"), col("n_appended"), col("appended_id_checksum"),
+          col("n_distinct_digests"), col("digest_checksum"),
+          col("shingle_checksum"), col("n_band_rows"), col("band_checksum"))
     }),
 
     // Duplicate-CLUSTER resolution: near-dup pairs are a graph; keeping
@@ -689,7 +1015,178 @@ object DedupQueries {
     })
   )
 
+  /** Shared oracle CTE chain for the incremental-dedup family (inline,
+    * index probe, index append): plant + hashed-shingle features + the
+    * exact near-pair set + per-doc verdicts. `exactBc` is the
+    * exact-vs-corpus predicate (text equality for the inline query,
+    * digest-pair equality for the store family — identical semantics,
+    * see the store section scaladoc); `withDigests` adds the digest CTEs.
+    *
+    * The near-pair `inter` join is BATCH-RESTRICTED (r11 sf10 mirror
+    * re-plan: the old all-pairs form spent ~2/3 of its Σdf² on
+    * base-base pairs the verdict logic never consults — the mirror sat
+    * at 539 s of the 900 s cap at sf10). `exb` keeps only batch-side
+    * postings; each unordered pair with ≥1 batch member is counted once
+    * per shared shingle: both-batch pairs qualify only from their min
+    * side, batch-base pairs from the batch side regardless of id order.
+    */
+  private def incOracleCte(exactBc: String, withDigests: Boolean): String = {
+    val dgCtes = if (!withDigests) ""
+    else
+      s""",
+         |rtx AS (SELECT doc_id, reverse(text) AS rtext FROM allu),
+         |dg AS (SELECT r.doc_id, ${charHashDuck("a.text")} AS d1,
+         |              ${charHashDuck("r.rtext")} AS d2
+         |       FROM rtx r JOIN allu a ON r.doc_id = a.doc_id)""".stripMargin
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+       |braw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM braw
+       |  UNION ALL
+       |  SELECT doc_id + 3000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id,
+       |         array_to_string(ws[1:greatest(len(ws) - 2, 1)], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)
+       |  WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM braw WHERE doc_id % 13 = 0
+       |),
+       |allu AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM batch)$dgCtes,
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM allu),
+       |whs AS (SELECT doc_id, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
+       |hsl AS (SELECT doc_id, list_distinct(${hashedNgramsDuck("wh", 3)}) AS hs FROM whs),
+       |ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl),
+       |sz AS (SELECT doc_id, len(hs) AS n FROM hsl),
+       |exb AS (SELECT doc_id, s FROM ex WHERE doc_id % 5 = 0 OR doc_id >= 3000000),
+       |inter AS (
+       |  SELECT least(t.doc_id, u.doc_id) AS da,
+       |         greatest(t.doc_id, u.doc_id) AS db, count(*) AS i
+       |  FROM exb t JOIN ex u ON t.s = u.s
+       |  WHERE t.doc_id < u.doc_id
+       |     OR (u.doc_id < t.doc_id
+       |         AND NOT (u.doc_id % 5 = 0 OR u.doc_id >= 3000000))
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT da, db FROM inter
+       |  JOIN sz sa ON da = sa.doc_id
+       |  JOIN sz sb ON db = sb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT),
+       |nsym AS (SELECT da AS u, db AS v FROM near UNION ALL SELECT db AS u, da AS v FROM near),
+       |v AS (SELECT b.doc_id,
+       |  CASE WHEN $exactBc
+       |         THEN 'exact_dup_corpus'
+       |       WHEN EXISTS (SELECT 1 FROM nsym n JOIN base c ON n.v = c.doc_id
+       |                    WHERE n.u = b.doc_id)
+       |         THEN 'near_dup_corpus'
+       |       WHEN EXISTS (SELECT 1 FROM batch b2
+       |                    WHERE b2.doc_id < b.doc_id AND b2.text = b.text)
+       |         OR EXISTS (SELECT 1 FROM nsym n JOIN batch b2 ON n.v = b2.doc_id
+       |                    WHERE n.u = b.doc_id AND b2.doc_id < b.doc_id)
+       |         THEN 'dup_in_batch'
+       |       ELSE 'new' END AS verdict
+       |  FROM batch b)""".stripMargin
+  }
+
+  /** Digest-pair exact-vs-corpus predicate for the store-family oracles
+    * (mirrors the engine's semi-join against the persisted d1/d2
+    * columns; base docs are the allu rows with original corpus ids).
+    */
+  private val exactBcDigest: String =
+    """EXISTS (SELECT 1 FROM dg m JOIN dg c
+      |                    ON c.d1 = m.d1 AND c.d2 = m.d2
+      |                    WHERE m.doc_id = b.doc_id
+      |                      AND c.doc_id % 5 <> 0 AND c.doc_id < 3000000)""".stripMargin
+
+  /** Verdict-aggregate tail shared by d_incremental_dedup / d_index_probe. */
+  private val incVerdictTail: String =
+    """SELECT verdict, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
+
+  /** Band-key mirror of [[bandKeysOf]] as RELATIONAL CTEs over a
+    * (doc_id, s) postings CTE — not the per-doc `minhashSigDuck` list
+    * comprehension, which DuckDB executes scalar-at-a-time (measured
+    * 19 s at sf0.001, i.e. a guaranteed sf10 TIMEOUT): postings × 64
+    * hash functions → vectorized groupBy-min per (doc, i), then the
+    * even/odd pair packed into the band key. Identical integer
+    * arithmetic; engine band b packs sig[2b+1]·P + sig[2b+2]
+    * (1-indexed) = minhash functions i = 2b and 2b+1.
+    */
+  private def bandCtesDuck(exCte: String, mh: String, bnd: String): String = {
+    val aArr = minhashA.mkString("[", ", ", "]")
+    val bArr = minhashB.mkString("[", ", ", "]")
+    s"""$mh AS (SELECT doc_id, t.i AS i,
+       |             min((($aArr)[t.i + 1] * s + ($bArr)[t.i + 1]) % $P) AS v
+       |      FROM $exCte, range(0, $NumHashes) t(i) GROUP BY doc_id, t.i),
+       |$bnd AS (SELECT doc_id,
+       |              min(CASE WHEN i % 2 = 0 THEN v END) * $P
+       |            + min(CASE WHEN i % 2 = 1 THEN v END) AS bkey
+       |       FROM $mh GROUP BY doc_id, i // 2)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    // Store build audit: replay digest + shingle + minhash arithmetic
+    // over the base corpus and compute the identical checksums.
+    "d_index_build" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |rtx AS (SELECT doc_id, reverse(text) AS rtext FROM base),
+         |dg AS (SELECT r.doc_id, ${charHashDuck("a.text")} AS d1,
+         |              ${charHashDuck("r.rtext")} AS d2
+         |       FROM rtx r JOIN base a ON r.doc_id = a.doc_id),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM base),
+         |whs AS (SELECT doc_id, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
+         |hsl AS (SELECT doc_id, list_distinct(${hashedNgramsDuck("wh", 3)}) AS hs FROM whs),
+         |ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl),
+         |${bandCtesDuck("ex", "mh", "bnd")}
+         |SELECT d.n_docs, d.n_distinct_digests,
+         |       CAST(d.digest_checksum AS BIGINT) AS digest_checksum,
+         |       CAST(h.shingle_checksum AS BIGINT) AS shingle_checksum,
+         |       b.n_band_rows, b.n_partitions,
+         |       CAST(b.band_checksum AS BIGINT) AS band_checksum
+         |FROM (SELECT count(*) AS n_docs,
+         |             count(DISTINCT d1 * $P + d2) AS n_distinct_digests,
+         |             sum((doc_id % 1009) * (d1 % 1000003)) AS digest_checksum
+         |      FROM dg) d,
+         |     (SELECT sum(s % 1000003) AS shingle_checksum FROM ex) h,
+         |     (SELECT count(*) AS n_band_rows,
+         |             count(DISTINCT bkey % $DixParts) AS n_partitions,
+         |             sum((doc_id % 101) * (bkey % 1000003)) AS band_checksum
+         |      FROM bnd) b""".stripMargin,
+    // Store probe: identical verdict semantics to d_incremental_dedup,
+    // with the exact-vs-corpus check on the digest PAIR the store
+    // persists (≡ text equality at any reachable scale; the mirror
+    // replays the same arithmetic so the comparison is bit-exact
+    // regardless).
+    "d_index_probe" ->
+      s"""${incOracleCte(exactBcDigest, withDigests = true)}
+         |$incVerdictTail""".stripMargin,
+    // Store append: recompute the verdicts, take the 'new' docs, and
+    // replay the serving-index (base ∪ appended) audit from scratch.
+    "d_index_append" ->
+      s"""${incOracleCte(exactBcDigest, withDigests = true)},
+         |newdocs AS (SELECT doc_id FROM v WHERE verdict = 'new'),
+         |srv AS (SELECT doc_id FROM base UNION ALL SELECT doc_id FROM newdocs),
+         |sdg AS (SELECT dg.doc_id, dg.d1, dg.d2 FROM dg JOIN srv USING (doc_id)),
+         |sex AS (SELECT ex.doc_id, ex.s FROM ex JOIN srv USING (doc_id)),
+         |${bandCtesDuck("sex", "smh", "sbnd")}
+         |SELECT d.n_docs_total, a.n_appended,
+         |       CAST(a.appended_id_checksum AS BIGINT) AS appended_id_checksum,
+         |       d.n_distinct_digests,
+         |       CAST(d.digest_checksum AS BIGINT) AS digest_checksum,
+         |       CAST(h.shingle_checksum AS BIGINT) AS shingle_checksum,
+         |       b.n_band_rows,
+         |       CAST(b.band_checksum AS BIGINT) AS band_checksum
+         |FROM (SELECT count(*) AS n_docs_total,
+         |             count(DISTINCT d1 * $P + d2) AS n_distinct_digests,
+         |             sum((doc_id % 1009) * (d1 % 1000003)) AS digest_checksum
+         |      FROM sdg) d,
+         |     (SELECT sum(s % 1000003) AS shingle_checksum FROM sex) h,
+         |     (SELECT count(*) AS n_band_rows,
+         |             sum((doc_id % 101) * (bkey % 1000003)) AS band_checksum
+         |      FROM sbnd) b,
+         |     (SELECT count(*) AS n_appended,
+         |             sum(doc_id) AS appended_id_checksum
+         |      FROM newdocs) a""".stripMargin,
     "d_exact_dedup_counts" ->
       s"""$corpusCte
          |SELECT count(*) AS rows_in,
@@ -765,51 +1262,10 @@ object DedupQueries {
     // (≥0.7 on the hashed 3-gram sets) for near dups — the LSH probe path
     // must reproduce it (verification + negligible banding miss).
     "d_incremental_dedup" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
-         |braw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
-         |batch AS (
-         |  SELECT doc_id, text FROM braw
-         |  UNION ALL
-         |  SELECT doc_id + 3000000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 4000000 AS doc_id,
-         |         array_to_string(ws[1:greatest(len(ws) - 2, 1)], ' ') AS text
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM base)
-         |  WHERE doc_id % 11 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 5000000 AS doc_id, text FROM braw WHERE doc_id % 13 = 0
-         |),
-         |allu AS (SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM batch),
-         |tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM allu),
-         |whs AS (SELECT doc_id, [${charHashDuck("w")} for w in ws] AS wh FROM tok),
-         |hsl AS (SELECT doc_id, list_distinct(${hashedNgramsDuck("wh", 3)}) AS hs FROM whs),
-         |ex AS (SELECT doc_id, unnest(hs) AS s FROM hsl),
-         |sz AS (SELECT doc_id, len(hs) AS n FROM hsl),
-         |inter AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |near AS (
-         |  SELECT da, db FROM inter
-         |  JOIN sz sa ON da = sa.doc_id
-         |  JOIN sz sb ON db = sb.doc_id
-         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardT),
-         |nsym AS (SELECT da AS u, db AS v FROM near UNION ALL SELECT db AS u, da AS v FROM near),
-         |v AS (SELECT b.doc_id,
-         |  CASE WHEN EXISTS (SELECT 1 FROM base c WHERE c.text = b.text)
-         |         THEN 'exact_dup_corpus'
-         |       WHEN EXISTS (SELECT 1 FROM nsym n JOIN base c ON n.v = c.doc_id
-         |                    WHERE n.u = b.doc_id)
-         |         THEN 'near_dup_corpus'
-         |       WHEN EXISTS (SELECT 1 FROM batch b2
-         |                    WHERE b2.doc_id < b.doc_id AND b2.text = b.text)
-         |         OR EXISTS (SELECT 1 FROM nsym n JOIN batch b2 ON n.v = b2.doc_id
-         |                    WHERE n.u = b.doc_id AND b2.doc_id < b.doc_id)
-         |         THEN 'dup_in_batch'
-         |       ELSE 'new' END AS verdict
-         |  FROM batch b)
-         |SELECT verdict, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
-         |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+      s"""${incOracleCte(
+             "EXISTS (SELECT 1 FROM base c WHERE c.text = b.text)",
+             withDigests = false)}
+         |$incVerdictTail""".stripMargin,
     // Triangles must match the plain 3-way self-join on the exact pair
     // set (the Spark side's orientation trick is invisible to results).
     "d_dup_triangles" ->

@@ -241,7 +241,15 @@ object OperatorQueries {
       // drift. Results are knob-independent either way (RangeJoinSpec).
       val (kWidth, kSalt) = sys.env.get("SPARK_GRAFT_OVERLAP_KNOBS") match {
         case Some(v) =>
-          val Array(w, k) = v.split(','); (w.trim.toLong, k.trim.toInt)
+          v.split(',') match {
+            case Array(w, k)
+                if w.trim.matches("""\d+""") && k.trim.matches("""\d+""") =>
+              (w.trim.toLong, k.trim.toInt)
+            case _ =>
+              throw new IllegalArgumentException(
+                s"SPARK_GRAFT_OVERLAP_KNOBS must be '<widthMicros>,<salt>' " +
+                  s"(two positive integers), got: '$v'")
+          }
         case None => (knobs.bucketWidth, knobs.saltFactor)
       }
       RangeJoin

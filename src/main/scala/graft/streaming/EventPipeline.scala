@@ -14,7 +14,10 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   * of the same logical query). The registered driver queries apply them in
   * batch mode (DuckDB-oracle-checkable); `StreamingSpec` replays the same
   * parquet through `readStream` + watermark and asserts the streaming
-  * result converges to the batch result.
+  * result converges to the batch result, and `StreamRecoverySpec` stops
+  * each stateful query mid-stream and restarts it from its checkpoint,
+  * asserting the final sink still equals the batch result exactly (state
+  * recovered, offsets not replayed into the idempotent epoch sink).
   *
   * Scale: windowed counts shuffle once on (window, event_type);
   * sessionization shuffles once on user_id; watermarks bound state size —
