@@ -304,8 +304,7 @@ object Media {
     */
   def mjpegFrameStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    spark.read
-      .parquet(s"$dir/documents.parquet")
+    graft.queries.Q.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id") % 12 === 2) // every 4th video-modality row
       .as[(Long, String)]
@@ -370,8 +369,7 @@ object Media {
     */
   def blobs(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spark.read
-      .parquet(s"$dir/documents.parquet")
+    graft.queries.Q.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -503,8 +501,7 @@ object Media {
     */
   def imageCorpusWithVariants(spark: SparkSession, dir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spark.read
-      .parquet(s"$dir/documents.parquet")
+    graft.queries.Q.table(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .flatMap { case (id, text) =>

@@ -45,8 +45,12 @@ object OperatorQueries {
       len += f.getLen
       mtime = math.max(mtime, f.getModificationTime)
     }
+    // A sliced run (SPARK_GRAFT_SLICE, see Q.table) must not share cached
+    // warehouse copies with full-corpus runs — the slice is part of the
+    // source identity.
+    val slice = Q.sliceMod.map(m => s"_sl$m").getOrElse("")
     java.lang.Integer.toHexString(path.hashCode) + "_" +
-      java.lang.Long.toHexString(len) + "_" + java.lang.Long.toHexString(mtime)
+      java.lang.Long.toHexString(len) + "_" + java.lang.Long.toHexString(mtime) + slice
   }
 
   /** The date-partitioned events table ("partition once, prune many"),

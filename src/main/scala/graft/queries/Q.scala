@@ -9,8 +9,33 @@ object Q {
   /** A registered query: (session, sf-dir) → result. */
   type Fn = (SparkSession, String) => DataFrame
 
-  def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Deterministic source-table slice for slice-oracle sweeps (VERDICT
+    * r11 #3): SPARK_GRAFT_SLICE=<m> restricts `documents` to
+    * doc_id % m == 0 and `embeddings` to vec_id % m == 0 AT THE SCAN, so
+    * every registered query — and every plant derived from these tables —
+    * runs over the same 1/m subcorpus that the oracle's sliced DuckDB
+    * views see (check_oracle.py ORACLE_SLICE=<m>). The deliberately-exact
+    * mirror families (Σdf² pair replay, n² all-pairs, n×k assignment)
+    * become DuckDB-tractable at sf10 on the slice, converting their
+    * TIMEOUT family classification into direct hash evidence. Only these
+    * two id-keyed corpora are sliced — the TPC-H-shape tables carry
+    * referential integrity across joins and are never filtered.
+    */
+  private[graft] lazy val sliceMod: Option[Long] =
+    sys.env.get("SPARK_GRAFT_SLICE").map { v =>
+      require(v.matches("""[1-9]\d*"""),
+        s"SPARK_GRAFT_SLICE must be a positive integer, got: '$v'")
+      v.toLong
+    }
+  private val sliceKey = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    (sliceMod, sliceKey.get(name)) match {
+      case (Some(m), Some(k)) => raw.filter(col(k) % m === 0)
+      case _ => raw
+    }
+  }
 
   /** Cached per-(dir, table) row count, for plan-SIZING decisions (LSH bit
     * widths, IVF centroid counts). The embedding queries each need the

@@ -56,12 +56,30 @@ def connect(sf_dir):
     con.execute(f"SET memory_limit='{mem}'")
     os.makedirs(tmp, exist_ok=True)
     con.execute(f"SET temp_directory='{tmp}'")
+    # ORACLE_SLICE=<m> (slice-oracle mode, VERDICT r11 #3): restrict the
+    # id-keyed corpora to id % m == 0, mirroring the engine's
+    # SPARK_GRAFT_SLICE=<m> scan filter — the deliberately-exact mirror
+    # families become tractable at sf10 on the 1/m slice, so the same
+    # per-query SQL yields a direct hash comparison instead of a
+    # family-tagged TIMEOUT. Run slice sweeps WITHOUT ORACLE_PRECLASSIFY
+    # (preclassification would skip exactly the mirrors the slice exists
+    # to run).
+    slice_m = os.environ.get("ORACLE_SLICE")
+    if slice_m is not None and not re.fullmatch(r"[1-9][0-9]*", slice_m):
+        sys.exit(f"ORACLE_SLICE={slice_m!r} must be a positive integer")
+    slice_keys = {"documents": "doc_id", "embeddings": "vec_id"}
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
+        src = None
         if os.path.isdir(p):  # Spark-written dataset dir (GenScale sf1 corpus)
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+            src = f"read_parquet('{p}/*.parquet')"
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            src = f"read_parquet('{p}')"
+        if src is None:
+            continue
+        where = (f" WHERE {slice_keys[t]} % {slice_m} = 0"
+                 if slice_m and t in slice_keys else "")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}{where}")
     return con
 
 def load_preclassified():
