@@ -134,7 +134,9 @@ class PlanShapeSpec extends SparkSpecBase {
     // downgrade a query's correctness gate. Rows-only by design:
     // a8_duration_sec (wall-clock can't hash-match an oracle) and
     // m_mjpeg_frame_stats (lossy JPEG output is codec-implementation-
-    // defined; its tolerance contract is asserted in MediaSpec instead).
+    // defined; its tolerance contract is asserted in MediaSpec and its
+    // decode correctness is anchored by the independent scalar decoder
+    // in TwoDecoderSpec).
     val rowsOnlyByDesign = Set("a8_duration_sec", "m_mjpeg_frame_stats")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyByDesign
     assert(missing.isEmpty, s"queries silently downgraded to rows-only: $missing")
