@@ -1104,24 +1104,29 @@ object DedupQueries {
       |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin
 
   /** Band-key mirror of [[bandKeysOf]] as RELATIONAL CTEs over a
-    * (doc_id, s) postings CTE — not the per-doc `minhashSigDuck` list
-    * comprehension, which DuckDB executes scalar-at-a-time (measured
-    * 19 s at sf0.001, i.e. a guaranteed sf10 TIMEOUT): postings × 64
-    * hash functions → vectorized groupBy-min per (doc, i), then the
-    * even/odd pair packed into the band key. Identical integer
+    * (doc_id, s) postings CTE — 64 PARALLEL min aggregates in ONE
+    * GROUP BY doc_id pass. Two rejected shapes, both measured: the
+    * per-doc `minhashSigDuck` list comprehension runs scalar-at-a-time
+    * (19 s at sf0.001 → guaranteed sf10 TIMEOUT), and the relational
+    * postings × range(64) cross product feeds an 11-BILLION-row
+    * aggregate input at sf10 whose out-of-core partitioning spilled past
+    * the host's 76 GB free disk (observed ENOSPC mid-sweep). 64 min(...)
+    * expressions over the raw postings keep the input at |postings| rows
+    * and the state at 64 longs per doc; the 32 band keys then pack the
+    * even/odd pairs in a 500k-row projection. Identical integer
     * arithmetic; engine band b packs sig[2b+1]·P + sig[2b+2]
     * (1-indexed) = minhash functions i = 2b and 2b+1.
     */
   private def bandCtesDuck(exCte: String, mh: String, bnd: String): String = {
-    val aArr = minhashA.mkString("[", ", ", "]")
-    val bArr = minhashB.mkString("[", ", ", "]")
-    s"""$mh AS (SELECT doc_id, t.i AS i,
-       |             min((($aArr)[t.i + 1] * s + ($bArr)[t.i + 1]) % $P) AS v
-       |      FROM $exCte, range(0, $NumHashes) t(i) GROUP BY doc_id, t.i),
-       |$bnd AS (SELECT doc_id,
-       |              min(CASE WHEN i % 2 = 0 THEN v END) * $P
-       |            + min(CASE WHEN i % 2 = 1 THEN v END) AS bkey
-       |       FROM $mh GROUP BY doc_id, i // 2)""".stripMargin
+    val mins = (0 until NumHashes)
+      .map(i => s"min((${minhashA(i)} * s + ${minhashB(i)}) % $P) AS m$i")
+      .mkString(", ")
+    val bkeys = (0 until NumBands)
+      .map(b => s"m${2 * b} * $P + m${2 * b + 1}")
+      .mkString("[", ", ", "]")
+    s"""$mh AS (SELECT doc_id, $mins
+       |      FROM $exCte GROUP BY doc_id),
+       |$bnd AS (SELECT doc_id, unnest($bkeys) AS bkey FROM $mh)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
