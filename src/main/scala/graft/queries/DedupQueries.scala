@@ -1029,13 +1029,21 @@ object DedupQueries {
     * postings; each unordered pair with ≥1 batch member is counted once
     * per shared shingle: both-batch pairs qualify only from their min
     * side, batch-base pairs from the batch side regardless of id order.
+    *
+    * `near` is forced MATERIALIZED: it is the tiny threshold-filtered
+    * pair set, but it is referenced twice (nsym's union arms) and DuckDB
+    * inlined it in the store-family variants — re-running the whole
+    * `inter` chain, whose transient aggregate spill alone exceeded the
+    * host's free disk at sf10 (observed ENOSPC; the inline-chained
+    * d_incremental_dedup form of the same chain passed at 192 s).
+    * Materializing the small frontier caps the chain at one execution.
     */
   private def incOracleCte(exactBc: String, withDigests: Boolean): String = {
     val dgCtes = if (!withDigests) ""
     else
       s""",
          |rtx AS (SELECT doc_id, reverse(text) AS rtext FROM allu),
-         |dg AS (SELECT r.doc_id, ${charHashDuck("a.text")} AS d1,
+         |dg AS MATERIALIZED (SELECT r.doc_id, ${charHashDuck("a.text")} AS d1,
          |              ${charHashDuck("r.rtext")} AS d2
          |       FROM rtx r JOIN allu a ON r.doc_id = a.doc_id)""".stripMargin
     s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
@@ -1067,7 +1075,7 @@ object DedupQueries {
        |     OR (u.doc_id < t.doc_id
        |         AND NOT (u.doc_id % 5 = 0 OR u.doc_id >= 3000000))
        |  GROUP BY 1, 2),
-       |near AS (
+       |near AS MATERIALIZED (
        |  SELECT da, db FROM inter
        |  JOIN sz sa ON da = sa.doc_id
        |  JOIN sz sb ON db = sb.doc_id
@@ -1169,8 +1177,8 @@ object DedupQueries {
     // replay the serving-index (base ∪ appended) audit from scratch.
     "d_index_append" ->
       s"""${incOracleCte(exactBcDigest, withDigests = true)},
-         |newdocs AS (SELECT doc_id FROM v WHERE verdict = 'new'),
-         |srv AS (SELECT doc_id FROM base UNION ALL SELECT doc_id FROM newdocs),
+         |newdocs AS MATERIALIZED (SELECT doc_id FROM v WHERE verdict = 'new'),
+         |srv AS MATERIALIZED (SELECT doc_id FROM base UNION ALL SELECT doc_id FROM newdocs),
          |sdg AS (SELECT dg.doc_id, dg.d1, dg.d2 FROM dg JOIN srv USING (doc_id)),
          |sex AS (SELECT ex.doc_id, ex.s FROM ex JOIN srv USING (doc_id)),
          |${bandCtesDuck("sex", "smh", "sbnd")}
