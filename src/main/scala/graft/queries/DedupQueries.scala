@@ -332,11 +332,12 @@ object DedupQueries {
   // that is O(batch):
   //   graft_dix_doc_<tag>  — (dp | doc_id, d1, d2, hs): per-doc exact
   //     digest PAIR + hashed 3-gram shingle set, partitioned on
-  //     dp = doc_id % 64 so candidate verification reads only the
-  //     partitions holding candidate docs (DPP off the broadcast
-  //     candidate list — the fat `hs` column is never full-scanned by
-  //     a probe; the exact semi-join reads only the narrow d1/d2
-  //     columns, column-pruned).
+  //     dp = doc_id % 64 (bounded dirs; dp leads the verify join key so
+  //     clustered candidate sets can prune, and bucketing-by-doc_id is
+  //     the point-lookup refinement at 100 TB). A probe reads only the
+  //     narrow d1/d2 columns for the exact semi-join and only
+  //     (doc_id, hs) — streamed through a broadcast-hash join, never
+  //     shuffled — for candidate verification (both plan-verified).
   //   graft_dix_band_<tag> — (bp | doc_id, band, bkey): exploded MinHash
   //     band-key postings, partitioned on the band-key prefix
   //     bp = bkey % 64 (bounded dirs, one file per prefix at write; a
@@ -487,15 +488,26 @@ object DedupQueries {
         Seq("bp", "band", "bkey"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // verify on store shingle sets: the dp key is derivable from the
-    // candidate's doc_b, so the broadcast candidate list prunes the
-    // store's fat hs column down to the candidate partitions (DPP)
+    // verify on store shingle sets. The broadcast hint is load-bearing:
+    // candidates are tiny (band-join survivors), so the corpus-sized
+    // store STREAMS through a broadcast-hash join — it is never
+    // shuffled, never sorted, and only its (doc_id, hs) columns are read
+    // (plan-verified ReadSchema). dp rides as a leading join key: on a
+    // probe whose candidates cluster into few partitions (the daily
+    // steady state — most batches share little with the corpus) a
+    // runtime-pruning engine can skip dp dirs, and bucketing the store
+    // by doc_id is the designated point-lookup refinement at 100 TB.
+    // (Spark's DPP rule does not fire here — the candidate side has no
+    // statically-selective predicate, and uniform mod-64 candidates
+    // would touch every partition anyway — so the claim is co-location,
+    // not partition elimination.)
     val storeSets = s.table(docT)
       .select(col("dp"), col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     val aSets = setsBatch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-    val nearBC = candBC
-      .withColumn("dp", pmod(col("doc_b"), lit(DixParts.toLong)).cast("int"))
-      .join(aSets, "doc_a")
+    val nearBC = broadcast(
+      candBC
+        .withColumn("dp", pmod(col("doc_b"), lit(DixParts.toLong)).cast("int"))
+        .join(aSets, "doc_a"))
       .join(storeSets, Seq("dp", "doc_b"))
       .withColumn("i", size(array_intersect(col("hs_a"), col("hs_b"))))
       .withColumn(
