@@ -455,14 +455,18 @@ object DedupQueries {
       .foreach(p => OperatorQueries.dropManagedTable(s, s"$p$tag"))
   }
 
-  /** Per-doc incremental-dedup verdicts answered OFF THE STORE — the
-    * corpus parquet is never read: exact-vs-corpus is a digest-pair
-    * semi-join against the store's narrow d1/d2 columns; near-vs-corpus
-    * probes the persisted band postings on (bp, band, bkey) and verifies
-    * candidates against store shingle sets read through dp partition
-    * pruning; within-batch logic is identical to d_incremental_dedup's
-    * (batch-only work). Cost: O(|batch|) feature pass + O(|batch|·bands)
-    * probe rows + O(candidates) verification.
+  /** Per-doc incremental-dedup verdicts answered OFF THE STORE — no
+    * corpus-side artifact is recomputed from raw text: exact-vs-corpus
+    * is a digest-pair semi-join against the store's narrow d1/d2
+    * columns; near-vs-corpus probes the persisted band postings on
+    * (bp, band, bkey) and verifies candidates against the store's
+    * shingle sets (streamed, never shuffled); within-batch logic is
+    * identical to d_incremental_dedup's (batch-only work). The only
+    * reads of documents.parquet are the PLANT's — [[incBatch]]
+    * synthesizes the incoming batch from planted copies of corpus docs;
+    * a real deployment's batch arrives as its own table. Cost:
+    * O(|batch|) feature pass + O(|batch|·bands) probe rows +
+    * O(candidates) verification.
     */
   private def probeVerdicts(
       s: SparkSession, dir: String, docT: String, bandT: String): DataFrame = {
