@@ -250,7 +250,7 @@ object DedupQueries {
     * persisted index a production incremental dedup maintains; extracted
     * so `d_incremental_dedup` can band its corpus and batch sides
     * separately. */
-  private def bandKeysOf(sets: DataFrame): DataFrame =
+  private[graft] def bandKeysOf(sets: DataFrame): DataFrame =
     sets
       .withColumn("sig", expr("minhash_sig(hs)"))
       .select(
@@ -395,7 +395,7 @@ object DedupQueries {
     * char-hashed once; see that scaladoc for why the checkpoint
     * materializes the features before multi-consumer fan-out).
     */
-  private def docFeaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def docFeaturesOf(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.SketchExpressions.register(s)
     docs
       .withColumn("d1", expr("char_rolling_hash(text)"))
@@ -469,14 +469,26 @@ object DedupQueries {
     * O(candidates) verification.
     */
   private def probeVerdicts(
-      s: SparkSession, dir: String, docT: String, bandT: String): DataFrame = {
-    val batch = incBatch(s, dir)
+      s: SparkSession, dir: String, docT: String, bandT: String): DataFrame =
+    probeVerdictsOf(s, incBatch(s, dir), s.table(docT), s.table(bandT))
+
+  /** [[probeVerdicts]] over an ARBITRARY (doc_id, text) batch frame and
+    * store frames — the daily-ingest entry point: the registered query
+    * probes the synthesized plant batch against the base tables, and a
+    * streaming ingest (`StreamIngestSpec`) probes each micro-batch
+    * against base ∪ delta-so-far through the same code path.
+    * `storeDocs` needs (dp, doc_id, d1, d2, hs); `storeBands`
+    * (bp, band, bkey, doc_id).
+    */
+  private[graft] def probeVerdictsOf(
+      s: SparkSession, batch: DataFrame,
+      storeDocs: DataFrame, storeBands: DataFrame): DataFrame = {
     val bf = docFeaturesOf(s, batch)
     val setsBatch = bf.select(col("doc_id"), col("hs"))
 
     // exact vs corpus: digest-pair semi-join (reads only d1/d2 columns)
     val exactBC = bf
-      .join(s.table(docT).select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi")
+      .join(storeDocs.select(col("d1"), col("d2")), Seq("d1", "d2"), "left_semi")
       .select(col("doc_id"))
       .distinct()
       .withColumn("f_exact_bc", lit(1))
@@ -487,7 +499,7 @@ object DedupQueries {
       .withColumn("bp", pmod(col("bkey"), lit(DixParts.toLong)).cast("int"))
       .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("doc_a"))
       .join(
-        s.table(bandT)
+        storeBands
           .select(col("bp"), col("band"), col("bkey"), col("doc_id").as("doc_b")),
         Seq("bp", "band", "bkey"))
       .select(col("doc_a"), col("doc_b"))
@@ -505,7 +517,7 @@ object DedupQueries {
     // statically-selective predicate, and uniform mod-64 candidates
     // would touch every partition anyway — so the claim is co-location,
     // not partition elimination.)
-    val storeSets = s.table(docT)
+    val storeSets = storeDocs
       .select(col("dp"), col("doc_id").as("doc_b"), col("hs").as("hs_b"))
     val aSets = setsBatch.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"))
     val nearBC = broadcast(
