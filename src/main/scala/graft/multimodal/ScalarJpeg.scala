@@ -67,6 +67,8 @@ object ScalarJpeg {
         var b = data(pos) & 0xff
         pos += 1
         if (b == 0xff) {
+          require(pos < data.length,
+            "entropy-coded segment truncated after a 0xFF byte")
           val b2 = data(pos) & 0xff
           require(b2 == 0x00, f"unexpected marker FF$b2%02X inside scan data")
           pos += 1

@@ -482,8 +482,18 @@ object DedupQueries {
     */
   private[graft] def probeVerdictsOf(
       s: SparkSession, batch: DataFrame,
+      storeDocs: DataFrame, storeBands: DataFrame): DataFrame =
+    probeVerdictsWith(s, batch, docFeaturesOf(s, batch), storeDocs, storeBands)
+
+  /** [[probeVerdictsOf]] with the batch's feature frame precomputed —
+    * callers that also need the features (the append path keeps the
+    * 'new' docs' features; the streaming ingest appends them to its
+    * delta) pass the ONE checkpointed [[docFeaturesOf]] frame here
+    * instead of paying the batch text scan + hashing twice.
+    */
+  private[graft] def probeVerdictsWith(
+      s: SparkSession, batch: DataFrame, bf: DataFrame,
       storeDocs: DataFrame, storeBands: DataFrame): DataFrame = {
-    val bf = docFeaturesOf(s, batch)
     val setsBatch = bf.select(col("doc_id"), col("hs"))
 
     // exact vs corpus: digest-pair semi-join (reads only d1/d2 columns)
@@ -588,10 +598,15 @@ object DedupQueries {
     if (!s.catalog.tableExists(dDocT)) {
       OperatorQueries.dropManagedTable(s, dDocT)
       OperatorQueries.dropManagedTable(s, dBandT)
-      val newIds = probeVerdicts(s, dir, docT, bandT)
+      // ONE feature pass shared by the verdict probe and the kept-doc
+      // projection (the probe-internal frame was recomputed here before
+      // — a second full batch scan+hash per cold append)
+      val batch = incBatch(s, dir)
+      val bf = docFeaturesOf(s, batch)
+      val newIds = probeVerdictsWith(s, batch, bf, s.table(docT), s.table(bandT))
         .filter(col("verdict") === "new")
         .select(col("doc_id"))
-      val keep = docFeaturesOf(s, incBatch(s, dir))
+      val keep = bf
         .join(newIds, Seq("doc_id"), "left_semi")
         .localCheckpoint()
       bandKeysOf(keep.select(col("doc_id"), col("hs")))
@@ -814,11 +829,14 @@ object DedupQueries {
     // THE PERSISTED STORE (build-on-miss keeps the query self-contained;
     // in steady state the store is warm and this is the daily-ingest
     // cost): O(batch) feature pass, digest-pair semi-join on the store's
-    // narrow columns, band probe + DPP-pruned candidate verification —
-    // the corpus parquet is NEVER read and nothing here is O(corpus).
-    // Same output contract as d_incremental_dedup; DedupIndexSpec
-    // asserts probe ≡ inline verdicts and that the base store's files
-    // are byte-identical after a probe.
+    // narrow d1/d2 columns, band probe, candidate verification streaming
+    // the store's (doc_id, hs) through a broadcast-hash join — no
+    // corpus-side artifact is recomputed from raw text, and no probe
+    // step shuffles the corpus (the only documents.parquet reads are the
+    // PLANT's batch synthesis; see probeVerdicts). Same output contract
+    // as d_incremental_dedup; DedupIndexSpec asserts probe ≡ inline
+    // verdicts and that the base store's files are byte-identical after
+    // a probe.
     "d_index_probe" -> ((s, dir) => {
       val (docT, bandT) = dedupIndexTables(s, dir, rebuild = false)
       probeVerdicts(s, dir, docT, bandT)

@@ -247,7 +247,7 @@ object OperatorQueries {
         case Some(v) =>
           v.split(',') match {
             case Array(w, k)
-                if w.trim.matches("""\d+""") && k.trim.matches("""\d+""") =>
+                if w.trim.matches("""[1-9]\d*""") && k.trim.matches("""[1-9]\d*""") =>
               (w.trim.toLong, k.trim.toInt)
             case _ =>
               throw new IllegalArgumentException(

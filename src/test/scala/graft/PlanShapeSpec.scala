@@ -19,16 +19,19 @@ class PlanShapeSpec extends SparkSpecBase {
   import org.apache.spark.sql.catalyst.optimizer.BuildLeft
 
   /** Provably ≤1 output row, by plan structure: a global (no-grouping)
-    * aggregate; any row-preserving/reducing unary node above one; a join
-    * of two such subtrees (the 1-row × 1-row crossJoin chains the audit
-    * queries use); a ≤1-row literal scan. Row-MULTIPLYING unaries
-    * (Generate = explode, Expand = grouping sets) are explicitly NOT
-    * row-preserving.
+    * aggregate; any row-preserving/reducing unary node above one; a
+    * non-full-outer join of two such subtrees (the 1-row × 1-row
+    * crossJoin chains the audit queries use — a FULL outer of two
+    * unmatched 1-row sides emits 2 rows, so it is excluded); a ≤1-row
+    * literal scan. Row-MULTIPLYING unaries (Generate = explode, Expand =
+    * grouping sets) are explicitly NOT row-preserving.
     */
   private def leOneRow(p: SparkPlan): Boolean = p match {
     case a: BaseAggregateExec => a.groupingExpressions.isEmpty
     case _: GenerateExec | _: ExpandExec => false
-    case j: BaseJoinExec => leOneRow(j.left) && leOneRow(j.right)
+    case j: BaseJoinExec =>
+      j.joinType != org.apache.spark.sql.catalyst.plans.FullOuter &&
+        leOneRow(j.left) && leOneRow(j.right)
     case l: LocalTableScanExec => l.rows.lengthCompare(1) <= 0
     case u: UnaryExecNode => leOneRow(u.child)
     case _ => false

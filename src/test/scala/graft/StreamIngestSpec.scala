@@ -83,11 +83,12 @@ class StreamIngestSpec extends SparkSpecBase {
             if (haveDelta) spark.table(bandT).select("bp", "band", "bkey", "doc_id")
               .unionAll(deltaBands)
             else spark.table(bandT).select("bp", "band", "bkey", "doc_id")
+          val bf = DedupQueries.docFeaturesOf(spark, mb)
           val newIds = DedupQueries
-            .probeVerdictsOf(spark, mb, storeDocs, storeBands)
+            .probeVerdictsWith(spark, mb, bf, storeDocs, storeBands)
             .filter(col("verdict") === "new")
             .select(col("doc_id"))
-          val kept = DedupQueries.docFeaturesOf(spark, mb)
+          val kept = bf
             .join(newIds, Seq("doc_id"), "left_semi")
             .localCheckpoint()
           keptIds ++= kept.select("doc_id").as[Long].collect()

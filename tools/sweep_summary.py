@@ -12,9 +12,13 @@ Optional second arg (VERDICT r11 #3): a SLICE sweep log — the same
 check_oracle output produced with SPARK_GRAFT_SLICE / ORACLE_SLICE set,
 where the deliberately-exact mirrors run to completion on a 1/m
 subcorpus. Each TIMEOUT row whose query hash-PASSED in the slice log is
-annotated SLICE-PASS (direct evidence, not just family classification);
-a TIMEOUT row with a slice FAIL fails the summary (exit 3), and one with
-no slice row at all is marked SLICE-MISSING.
+annotated SLICE-PASS (direct evidence, not just family classification).
+A slice FAIL/ERR/MISS — wrong or broken results — fails the summary
+(exit 3). A slice row that is merely absent, SKIPped, or itself
+timed-out is an evidence GAP, annotated and counted in one warning line
+but not fatal (family classification still stands for those rows; a gap
+must never be surfaced as weaker than an explicit non-PASS, or deleting
+a row would beat reporting it).
 """
 import sys, re, os
 
@@ -52,6 +56,7 @@ for status, _ in rows.values():
 print(f"total {len(rows)}: {counts}")
 unclassified = []
 slice_failed = []
+slice_gaps = []
 for st in ("FAIL", "ERR", "MISS", "ABSENT", "TIMEOUT", "SKIP"):
     for n, (s, r) in sorted(rows.items()):
         if s != st:
@@ -67,20 +72,27 @@ for st in ("FAIL", "ERR", "MISS", "ABSENT", "TIMEOUT", "SKIP"):
             if slice_rows is not None:
                 ss = slice_rows.get(n)
                 if ss is None:
-                    tags.append("SLICE-MISSING")
+                    slice_gaps.append(n)
+                    tags.append("SLICE-GAP (no slice row)")
                 elif ss[0] == "PASS":
                     tags.append(f"SLICE-PASS {ss[1]}")
-                else:
+                elif ss[0] in ("FAIL", "ERR", "MISS"):
                     slice_failed.append(n)
                     tags.append(f"SLICE-{ss[0]} {ss[1]}")
+                else:  # SKIP / TIMEOUT / ABSENT: evidence gap, not a wrong result
+                    slice_gaps.append(n)
+                    tags.append(f"SLICE-GAP ({ss[0]}) {ss[1]}")
             print(f"  TIMEOUT {n} [{'; '.join(tags)}] {r}")
         else:
             print(f"  {st} {n} {r}")
+if slice_gaps:
+    print(f"\nWARNING: {len(slice_gaps)} TIMEOUT row(s) without slice evidence "
+          f"(family classification only): {' '.join(slice_gaps)}")
 if unclassified:
     print(f"\nERROR: {len(unclassified)} TIMEOUT row(s) without a documented "
           f"mirror family: {' '.join(unclassified)}")
     sys.exit(2)
 if slice_failed:
     print(f"\nERROR: {len(slice_failed)} TIMEOUT row(s) whose SLICE oracle "
-          f"did not PASS: {' '.join(slice_failed)}")
+          f"returned wrong/broken results: {' '.join(slice_failed)}")
     sys.exit(3)
