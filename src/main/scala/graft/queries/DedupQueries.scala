@@ -363,8 +363,26 @@ object DedupQueries {
     * ∪ exact copies of every 7th corpus doc (+3000000) ∪ 2-word-truncated
     * near copies of every 11th corpus doc (+4000000) ∪ exact copies of
     * every 13th raw batch doc (+5000000).
+    *
+    * A/B instrument (unset in production and never set by the driver —
+    * same contract as SPARK_GRAFT_OVERLAP_KNOBS):
+    * SPARK_GRAFT_DIX_BATCH_MOD=<m> keeps only batch docs with
+    * doc_id % m == 0 against the UNCHANGED corpus, so a probe's cost can
+    * be measured as a function of batch size alone — the direct
+    * experiment behind the "probe is O(batch), not O(corpus)" claim
+    * (sf10 numbers in BASELINE.md round 12).
     */
   private[graft] def incBatch(s: SparkSession, dir: String): DataFrame = {
+    val batchMod = sys.env.get("SPARK_GRAFT_DIX_BATCH_MOD").map { v =>
+      require(v.matches("""[1-9]\d*"""),
+        s"SPARK_GRAFT_DIX_BATCH_MOD must be a positive integer, got: '$v'")
+      v.toLong
+    }
+    val full = incBatchFull(s, dir)
+    batchMod.fold(full)(m => full.filter(col("doc_id") % m === 0))
+  }
+
+  private def incBatchFull(s: SparkSession, dir: String): DataFrame = {
     val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") % 5 =!= 0)
     val batchRaw = docs.filter(col("doc_id") % 5 === 0)
