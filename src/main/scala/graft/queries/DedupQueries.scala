@@ -854,7 +854,12 @@ object DedupQueries {
     // PLANT's batch synthesis; see probeVerdicts). Same output contract
     // as d_incremental_dedup; DedupIndexSpec asserts probe ≡ inline
     // verdicts and that the base store's files are byte-identical after
-    // a probe.
+    // a probe. Measured batch-scaling at sf10 (warm store, 16 cores,
+    // SPARK_GRAFT_DIX_BATCH_MOD shrinking the batch against the fixed
+    // corpus): 14 s at the full 201k-doc batch → 7.7 s at 1/8 → 5.6 s at
+    // 1/40, converging on the ~5 s narrow index-READ floor — while the
+    // inline query re-pays the ~21 s corpus feature pass at any batch
+    // size (BASELINE.md round 12).
     "d_index_probe" -> ((s, dir) => {
       val (docT, bandT) = dedupIndexTables(s, dir, rebuild = false)
       probeVerdicts(s, dir, docT, bandT)
