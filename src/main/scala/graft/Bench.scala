@@ -123,13 +123,14 @@ object Bench {
     // on these queries are attributable without reading BASELINE prose.
     // The *_build queries rebuild unconditionally every rep by contract.
     val storePrefixes = Seq("graft_ivf_", "graft_pq_", "graft_inc_",
-      "graft_rsd_", "graft_dix_", "graft_dxd_")
+      "graft_rsd_", "graft_dix_", "graft_dxd_", "graft_dxc_", "graft_dsi_")
     def storeTables(): Set[String] =
       spark.catalog.listTables().collect().map(_.name)
         .filter(n => storePrefixes.exists(n.startsWith)).toSet
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val stateful = name.startsWith("e_index") || name.startsWith("d_index")
+      val stateful = name.startsWith("e_index") || name.startsWith("d_index") ||
+        name == "d_stream_ingest"
       val before = if (stateful) storeTables() else Set.empty[String]
       val sec = measure(name, fn)
       val store =

@@ -284,6 +284,10 @@ object DedupQueries {
     * sum is strictly decreasing until convergence) — no driver-side
     * graph, rounds bounded by component diameter. Nodes with no edges
     * are NOT emitted (callers coalesce to self).
+    *
+    * Superseded in the registered queries by [[starContract]] (same
+    * output, O(log² n) rounds instead of diameter); retained as the
+    * independent reference implementation StarContractSpec A/Bs against.
     */
   private[graft] def labelPropagate(edges: DataFrame): DataFrame = {
     val adj = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -320,6 +324,100 @@ object DedupQueries {
       curSum = repSum()
     }
     labels
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC '14 — public algorithm) — the web-scale answer the
+    * [[labelPropagate]] scaladoc promised (VERDICT r12 #4). Identical
+    * (id, rep) output contract (every node incident to an edge, rep =
+    * component min, the min node mapping to itself; isolated nodes not
+    * emitted), but rounds are O(log² n) on ANY graph shape, where
+    * min-label propagation needs DIAMETER rounds — a duplicate corpus
+    * with one pathological chain (serial-numbered boilerplate, paginated
+    * near-copies) would drive the old loop to thousands of shuffle
+    * rounds at 100 TB while this loop closes it in ~a dozen.
+    * StarContractSpec proves both properties on a planted 4096-node path
+    * (diameter 4095, ≤ 16 alternations) and equality with
+    * labelPropagate on the real LSH pair graph.
+    *
+    * Edge state is kept child→parent (c > p after canonicalization;
+    * both operators preserve it, so self-loops never arise):
+    *  - LARGE-STAR per node u: every strictly larger neighbor re-links
+    *    to m(u) = min(Γ(u) ∪ u) — one symmetric groupBy + join;
+    *  - SMALL-STAR per node c over its parent set P: c links to
+    *    min(P), every other parent re-links to min(P) — one groupBy +
+    *    join on the directed edges.
+    * Each alternation is two join+groupBy rounds on the (shrinking)
+    * edge set with `localCheckpoint` lineage cuts; the fixpoint test is
+    * a 2-column aggregate (count + order-free xxhash64 sum — the same
+    * edge multiset cannot change without moving it, and a collision
+    * would need two DIFFERENT edge sets summing to the same 64-bit
+    * value mid-convergence). Bounded by MaxStarRounds as a backstop;
+    * the paper's bound makes hitting it a bug, not an input property.
+    */
+  private[graft] val MaxStarRounds = 64
+
+  private[graft] def starContract(edges: DataFrame): DataFrame =
+    starContractRounds(edges)._1
+
+  private[graft] def starContractRounds(edges: DataFrame): (DataFrame, Int) = {
+    // canonicalize: child = larger endpoint, parent = smaller; drop
+    // self-loops and duplicate edges
+    var e = edges
+      .filter(col("a") =!= col("b"))
+      .select(
+        greatest(col("a"), col("b")).as("c"),
+        least(col("a"), col("b")).as("p"))
+      .distinct()
+      .localCheckpoint()
+
+    // order-free edge-set fingerprint: count + sum of mod-reduced
+    // xxhash64 (pmod keeps each term < 1e9+7, so the ANSI sum cannot
+    // overflow below ~9e9 edges; the fixpoint only needs "unchanged
+    // across one alternation", where a collision would require two
+    // different edge sets agreeing on both count and hash sum)
+    def checksum(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("c"), col("p")), lit(1000000007L))), lit(0L)))
+        .first()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var rounds = 0
+    var prev = (-1L, 0L)
+    var cur = checksum(e)
+    while (cur._1 > 0 && cur != prev && rounds < MaxStarRounds) {
+      // LARGE-STAR: symmetric neighborhoods; larger neighbors → m(u)
+      val adj = e.select(col("c").as("u"), col("p").as("v"))
+        .unionAll(e.select(col("p").as("u"), col("c").as("v")))
+      val mins = adj.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val eL = adj.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .distinct()
+      // SMALL-STAR: per child, parents re-link to the min parent
+      val mp = eL.groupBy(col("c").as("c0")).agg(min(col("p")).as("m"))
+      e = eL.join(mp, eL("c") === mp("c0"))
+        .select(
+          when(col("p") === col("m"), col("c")).otherwise(col("p")).as("c"),
+          col("m").as("p"))
+        .distinct()
+        .localCheckpoint()
+      prev = cur
+      cur = checksum(e)
+      rounds += 1
+    }
+    require(rounds < MaxStarRounds || cur == prev,
+      s"star contraction did not converge in $MaxStarRounds alternations — " +
+        "algorithmically impossible for a sane edge set; investigate the input")
+    // converged: e is a star forest (v, root). Labels = children ∪ roots.
+    val labels = e.select(col("c").as("id"), col("p").as("rep"))
+      .unionAll(e.select(col("p").as("id"), col("p").as("rep")).distinct())
+      .distinct()
+    (labels, rounds)
   }
 
   // ------------------------------------------------------------------
@@ -383,7 +481,19 @@ object DedupQueries {
   }
 
   private def incBatchFull(s: SparkSession, dir: String): DataFrame = {
-    val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    // The plant's +3000000/+4000000/+5000000 id offsets assume corpus
+    // ids stay below 3,000,000 (holds through ~sf100); past that, batch
+    // membership predicates (engine AND oracle) would silently
+    // misclassify docs. Fail LOUDLY instead of latently (ADVICE r12):
+    // a corpus id at/over the offset raises at scan time. One codegen'd
+    // comparison per row — doc_id is consumed anyway, so the guard
+    // cannot be pruned.
+    val guardedId = when(col("doc_id") < 3000000L, col("doc_id"))
+      .otherwise(raise_error(concat(
+        lit("incremental-dedup plant: corpus doc_id "),
+        col("doc_id").cast("string"),
+        lit(" >= 3000000 breaks the plant's id-offset scheme — re-derive the offsets"))).cast("long"))
+    val docs = table(s, dir, "documents").select(guardedId.as("doc_id"), col("text"))
     val base = docs.filter(col("doc_id") % 5 =!= 0)
     val batchRaw = docs.filter(col("doc_id") % 5 === 0)
     val trunc =
@@ -406,6 +516,19 @@ object DedupQueries {
     * DPP shapes are unchanged.
     */
   private[graft] val DixParts = 64
+
+  /** Every table prefix of the dedup-index store family: base (dix),
+    * append deltas (dxd), compaction clone + audit (dxc), streaming-
+    * ingest deltas + marker (dsi). A base rebuild or an orphan sweep
+    * (corpus tag changed) must drop ALL of them — a derived table
+    * surviving its base is the stale-reuse contamination class ADVICE
+    * r12 flagged on the batch-mod knob.
+    */
+  private[graft] val DixPrefixes = Seq(
+    "graft_dix_doc_", "graft_dix_band_",
+    "graft_dxd_doc_", "graft_dxd_band_",
+    "graft_dxc_doc_", "graft_dxc_band_", "graft_dxc_audit_",
+    "graft_dsi_doc_", "graft_dsi_band_", "graft_dsi_done_")
 
   /** (doc_id, d1, d2, hs) index features of a (doc_id, text) frame in ONE
     * text scan: the exact digest pair + the hashed 3-gram shingle set
@@ -445,11 +568,9 @@ object DedupQueries {
       // same-prefix table from a previous tag before writing this one
       s.catalog.listTables().collect()
         .map(_.name)
-        .filter(n =>
-          Seq("graft_dix_doc_", "graft_dix_band_", "graft_dxd_doc_", "graft_dxd_band_")
-            .exists(p => n.startsWith(p) && n != s"$p$tag"))
+        .filter(n => DixPrefixes.exists(p => n.startsWith(p) && n != s"$p$tag"))
         .foreach(OperatorQueries.dropManagedTable(s, _))
-      Seq(docT, bandT, s"graft_dxd_doc_$tag", s"graft_dxd_band_$tag")
+      DixPrefixes.map(p => s"$p$tag")
         .foreach(OperatorQueries.dropManagedTable(s, _))
       val feats = docFeaturesOf(s, incBase(s, dir))
       feats
@@ -469,8 +590,7 @@ object DedupQueries {
     */
   private[graft] def dropDixStore(s: SparkSession, dir: String): Unit = {
     val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
-    Seq("graft_dix_doc_", "graft_dix_band_", "graft_dxd_doc_", "graft_dxd_band_")
-      .foreach(p => OperatorQueries.dropManagedTable(s, s"$p$tag"))
+    DixPrefixes.foreach(p => OperatorQueries.dropManagedTable(s, s"$p$tag"))
   }
 
   /** Per-doc incremental-dedup verdicts answered OFF THE STORE — no
@@ -609,6 +729,15 @@ object DedupQueries {
     */
   private[graft] def ensureDedupAppended(
       s: SparkSession, dir: String): (String, String, String, String) = {
+    // SPARK_GRAFT_DIX_BATCH_MOD is a PROBE-only A/B instrument: letting
+    // it reach an append would persist a filtered delta that later
+    // knob-free runs silently reuse through the ingest-once
+    // (table-exists) marker — the exact contamination class the slice
+    // knob's _sl<m> tag suffix exists to prevent (ADVICE r12).
+    require(sys.env.get("SPARK_GRAFT_DIX_BATCH_MOD").isEmpty,
+      "SPARK_GRAFT_DIX_BATCH_MOD drives the read-only d_index_probe A/B only; " +
+        "an append under it would persist a filtered delta that knob-free runs " +
+        "reuse via the ingest-once marker. Unset it before d_index_append.")
     val (docT, bandT) = dedupIndexTables(s, dir, rebuild = false)
     val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
     val dDocT = s"graft_dxd_doc_$tag"
@@ -637,6 +766,133 @@ object DedupQueries {
         .write.mode("overwrite").partitionBy("dp").saveAsTable(dDocT)
     }
     (docT, bandT, dDocT, dBandT)
+  }
+
+  /** Delta-compaction trigger: fold the append deltas into the base
+    * partitions once delta/base row ratio reaches this (e6 fixed-point
+    * so the oracle replays the decision in integer arithmetic). 1% —
+    * deltas are probed as a unioned second table on every read, so the
+    * read-amplification they add is bounded by this ratio.
+    */
+  private[graft] val CompactRatioE6 = 10000L
+
+  /** Serving clone of the base store for compaction (graft_dxc_*): the
+    * compaction rewrites ONLY the delta-touched partitions IN PLACE via
+    * dynamic partition overwrite; it clones the base first so the
+    * sibling registered queries' ingest-once markers (which hash off the
+    * ORIGINAL base/delta tables) stay valid within one Verify/Bench
+    * session — the same serving-clone discipline as the ANN tier's
+    * ensureReseedApplied. A production deployment would overwrite the
+    * base partitions directly and retire the deltas; the insertInto
+    * mechanics are identical.
+    */
+  private[graft] def cloneCompactTables(
+      s: SparkSession, dir: String): (String, String) = {
+    val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
+    val (docT, bandT, _, _) = ensureDedupAppended(s, dir)
+    val cDocT = s"graft_dxc_doc_$tag"
+    val cBandT = s"graft_dxc_band_$tag"
+    Seq(cDocT, cBandT).foreach(OperatorQueries.dropManagedTable(s, _))
+    s.table(docT)
+      .repartition(col("dp"))
+      .write.mode("overwrite").partitionBy("dp").saveAsTable(cDocT)
+    s.table(bandT)
+      .repartition(col("bp"))
+      .write.mode("overwrite").partitionBy("bp").saveAsTable(cBandT)
+    (cDocT, cBandT)
+  }
+
+  /** Folds the append deltas into the (cloned) base store partitions —
+    * VERDICT r12 #3, the dedup twin of the ANN tier's reseed-apply
+    * maintenance loop. Only partitions that actually hold delta rows
+    * are rewritten (dynamic partition overwrite; every other dp/bp dir
+    * is untouched byte-for-byte — DedupIndexSpec asserts it); each
+    * rewritten partition is base-rows ∪ delta-rows, so the folded store
+    * is file-count-minimal again and probes stop paying the base∪delta
+    * union. Returns the 1-row compaction audit: fold decision inputs
+    * (row counts, ratio), partitions rewritten, and the post-fold
+    * serving-index checksums the DuckDB mirror replays from raw text.
+    */
+  private[graft] def foldDeltasInto(
+      s: SparkSession, cDocT: String, cBandT: String,
+      dDocT: String, dBandT: String): DataFrame = {
+    val nBase = s.table(cDocT).count()
+    val nDelta = s.table(dDocT).count()
+    val ratioE6 = if (nBase == 0) Long.MaxValue else nDelta * 1000000L / nBase
+    val doFold = ratioE6 >= CompactRatioE6
+    val (docParts, bandParts) =
+      if (!doFold) (0L, 0L)
+      else {
+        val touchedDoc = s.table(dDocT).select(col("dp")).distinct()
+        val touchedBand = s.table(dBandT).select(col("bp")).distinct()
+        val nDocParts = touchedDoc.count()
+        val nBandParts = touchedBand.count()
+        // merged touched partitions, materialized BEFORE the overwrite
+        // (the write targets the table the plan reads from)
+        val mergedDoc = s.table(cDocT)
+          .join(touchedDoc, Seq("dp"), "left_semi")
+          .unionByName(s.table(dDocT))
+          .select(col("doc_id"), col("d1"), col("d2"), col("hs"), col("dp"))
+          .repartition(col("dp"))
+          .localCheckpoint()
+        val mergedBand = s.table(cBandT)
+          .join(touchedBand, Seq("bp"), "left_semi")
+          .unionByName(s.table(dBandT))
+          .select(col("doc_id"), col("band"), col("bkey"), col("bp"))
+          .repartition(col("bp"))
+          .localCheckpoint()
+        val prevMode = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try {
+          mergedDoc.write.mode("overwrite").insertInto(cDocT)
+          mergedBand.write.mode("overwrite").insertInto(cBandT)
+        } finally prevMode match {
+          case Some(m) => s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        (nDocParts, nBandParts)
+      }
+    // post-fold serving audit, read back from the PERSISTED compacted
+    // tables (same arithmetic as d_index_build/append — a fold bug
+    // cannot hide behind in-flight frames)
+    val docAgg = s.table(cDocT).agg(
+      count(lit(1)).as("n_docs_total"),
+      count_distinct(col("d1") * lit(P) + col("d2")).as("n_distinct_digests"),
+      sum((col("doc_id") % 1009L) * (col("d1") % 1000003L)).as("digest_checksum"),
+      sum(expr("aggregate(hs, CAST(0 AS BIGINT), (a, x) -> a + x % 1000003)"))
+        .as("shingle_checksum"))
+    val bandAgg = s.table(cBandT).agg(
+      count(lit(1)).as("n_band_rows"),
+      sum((col("doc_id") % 101L) * (col("bkey") % 1000003L)).as("band_checksum"))
+    docAgg
+      .crossJoin(broadcast(bandAgg))
+      .select(
+        lit(nBase).as("n_base"),
+        lit(nDelta).as("n_delta_folded"),
+        lit(ratioE6).as("delta_ratio_e6"),
+        lit(docParts).as("doc_parts_rewritten"),
+        lit(bandParts).as("band_parts_rewritten"),
+        col("n_docs_total"), col("n_distinct_digests"),
+        col("digest_checksum"), col("shingle_checksum"),
+        col("n_band_rows"), col("band_checksum"))
+  }
+
+  /** Ensures the compaction ran ONCE for this corpus; the persisted
+    * 1-row audit table (written LAST — the completion marker, same
+    * ordering trick as ensureDedupAppended) is the query result.
+    */
+  private[graft] def ensureDedupCompacted(s: SparkSession, dir: String): String = {
+    val tag = OperatorQueries.sourceTag(s, s"$dir/documents.parquet")
+    val audT = s"graft_dxc_audit_$tag"
+    if (!s.catalog.tableExists(audT)) {
+      OperatorQueries.dropManagedTable(s, audT)
+      val (_, _, dDocT, dBandT) = ensureDedupAppended(s, dir)
+      val (cDocT, cBandT) = cloneCompactTables(s, dir)
+      foldDeltasInto(s, cDocT, cBandT, dDocT, dBandT)
+        .coalesce(1)
+        .write.mode("overwrite").saveAsTable(audT)
+    }
+    audT
   }
 
   val queries: Map[String, Fn] = Map(
@@ -904,19 +1160,37 @@ object DedupQueries {
           col("shingle_checksum"), col("n_band_rows"), col("band_checksum"))
     }),
 
+    // DEDUP INDEX COMPACTION — fold the O(batch) append deltas back into
+    // the base partitions once delta/base exceeds CompactRatioE6
+    // (VERDICT r12 #3: the maintenance loop the ANN tier closes with
+    // e_index_reseed_apply, for the dedup store). Only delta-touched
+    // dp/bp partitions are rewritten (dynamic partition overwrite —
+    // every untouched dir stays byte-identical, DedupIndexSpec asserts
+    // it); the run-once audit table is the completion marker AND the
+    // result. The mirror recomputes the verdicts, replays the fold
+    // decision in the same integer arithmetic, and re-derives the
+    // touched-partition counts and post-fold checksums from raw text.
+    "d_index_compact" -> ((s, dir) =>
+      s.table(ensureDedupCompacted(s, dir)).select(
+        col("n_base"), col("n_delta_folded"), col("delta_ratio_e6"),
+        col("doc_parts_rewritten"), col("band_parts_rewritten"),
+        col("n_docs_total"), col("n_distinct_digests"),
+        col("digest_checksum"), col("shingle_checksum"),
+        col("n_band_rows"), col("band_checksum"))),
+
     // Duplicate-CLUSTER resolution: near-dup pairs are a graph; keeping
     // one doc per duplicate set needs its connected components, not just
     // pairs (a–b, b–c must collapse to ONE keeper, not two independent
-    // decisions). Components via min-label propagation: every node
-    // starts as its own rep, each round takes the min rep across
-    // neighbors, stop at fixpoint. Rounds = graph diameter (dup clusters
-    // are shallow — here ≤ 2 hops; web-scale dedup uses the same loop
-    // with the large-star/small-star contraction to bound rounds on
-    // pathological chains). Each round is one join + one groupBy on
-    // doc_id — no driver-side graph, state is (node, rep). The fixpoint
-    // check is a 1-row aggregate (sum of reps, strictly decreasing until
-    // converged). Oracle = DuckDB recursive-CTE transitive closure over
-    // the exact pair set.
+    // decisions). Components via alternating large-star/small-star
+    // contraction ([[starContract]], VERDICT r12 #4): rounds are
+    // O(log² n) on ANY graph shape — a pathological near-dup CHAIN
+    // (serial-numbered boilerplate) no longer costs diameter shuffle
+    // rounds the way the previous min-label-propagation loop did.
+    // Each alternation is two join+groupBy rounds on the shrinking edge
+    // set — no driver-side graph; the fixpoint check is a 2-column
+    // aggregate. Output contract unchanged (StarContractSpec proves
+    // equality with labelPropagate on this very pair graph). Oracle =
+    // DuckDB recursive-CTE transitive closure over the exact pair set.
     // Triangle count over the near-dup pair graph (degree-ordered edge
     // orientation — the distributed-triangle standard): orient every
     // edge from its lower-(degree, id) endpoint, wedge-join out-edges on
@@ -968,7 +1242,7 @@ object DedupQueries {
       val edges = lshVerifiedPairs(s, dir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
         .localCheckpoint()
-      labelPropagate(edges)
+      starContract(edges)
         .groupBy(col("rep").as("cluster"))
         .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
         .orderBy("cluster")
@@ -989,7 +1263,7 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
       val labels =
-        labelPropagate(edges.select(col("doc_a").as("a"), col("doc_b").as("b")))
+        starContract(edges.select(col("doc_a").as("a"), col("doc_b").as("b")))
       val docs = corpus(s, dir).select(col("doc_id"))
       val assigned = docs
         .join(labels, docs("doc_id") === labels("id"), "left")
@@ -1115,7 +1389,12 @@ object DedupQueries {
          |dg AS MATERIALIZED (SELECT r.doc_id, ${charHashDuck("a.text")} AS d1,
          |              ${charHashDuck("r.rtext")} AS d2
          |       FROM rtx r JOIN allu a ON r.doc_id = a.doc_id)""".stripMargin
-    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+    s"""WITH idguard AS (
+       |  SELECT CASE WHEN max(doc_id) >= 3000000
+       |              THEN error(concat('incremental-dedup plant: corpus doc_id ', max(doc_id),
+       |                                ' >= 3000000 breaks the plant id-offset scheme'))
+       |              ELSE 1 END AS ok FROM documents),
+       |base AS (SELECT doc_id, text FROM documents, idguard WHERE doc_id % 5 <> 0 AND idguard.ok = 1),
        |braw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
        |batch AS (
        |  SELECT doc_id, text FROM braw
@@ -1269,6 +1548,47 @@ object DedupQueries {
          |     (SELECT count(*) AS n_appended,
          |             sum(doc_id) AS appended_id_checksum
          |      FROM newdocs) a""".stripMargin,
+    // Compaction: recompute the verdicts, replay the fold decision
+    // (integer e6 ratio vs threshold), derive the delta-touched
+    // partition counts from the 'new' docs' ids / band keys, and replay
+    // the post-fold serving audit over base ∪ new from raw text.
+    "d_index_compact" ->
+      s"""${incOracleCte(exactBcDigest, withDigests = true)},
+         |newdocs AS MATERIALIZED (SELECT doc_id FROM v WHERE verdict = 'new'),
+         |rt AS (SELECT nb.n_base, nd.n_delta,
+         |              nd.n_delta * 1000000 // nb.n_base AS ratio_e6,
+         |              (nd.n_delta * 1000000 // nb.n_base) >= $CompactRatioE6 AS folded
+         |       FROM (SELECT count(*) AS n_base FROM base) nb,
+         |            (SELECT count(*) AS n_delta FROM newdocs) nd),
+         |srv AS MATERIALIZED (
+         |  SELECT doc_id FROM base
+         |  UNION ALL
+         |  SELECT doc_id FROM newdocs WHERE (SELECT folded FROM rt)),
+         |sdg AS (SELECT dg.doc_id, dg.d1, dg.d2 FROM dg JOIN srv USING (doc_id)),
+         |sex AS (SELECT ex.doc_id, ex.s FROM ex JOIN srv USING (doc_id)),
+         |${bandCtesDuck("sex", "smh", "sbnd")},
+         |kex AS (SELECT ex.doc_id, ex.s FROM ex JOIN newdocs USING (doc_id)),
+         |${bandCtesDuck("kex", "kmh", "kbnd")}
+         |SELECT r.n_base, r.n_delta AS n_delta_folded,
+         |       CAST(r.ratio_e6 AS BIGINT) AS delta_ratio_e6,
+         |       CASE WHEN r.folded THEN dpn.n ELSE 0 END AS doc_parts_rewritten,
+         |       CASE WHEN r.folded THEN bpn.n ELSE 0 END AS band_parts_rewritten,
+         |       d.n_docs_total, d.n_distinct_digests,
+         |       CAST(d.digest_checksum AS BIGINT) AS digest_checksum,
+         |       CAST(h.shingle_checksum AS BIGINT) AS shingle_checksum,
+         |       b.n_band_rows,
+         |       CAST(b.band_checksum AS BIGINT) AS band_checksum
+         |FROM rt r,
+         |     (SELECT count(DISTINCT doc_id % $DixParts) AS n FROM newdocs) dpn,
+         |     (SELECT count(DISTINCT bkey % $DixParts) AS n FROM kbnd) bpn,
+         |     (SELECT count(*) AS n_docs_total,
+         |             count(DISTINCT d1 * $P + d2) AS n_distinct_digests,
+         |             sum((doc_id % 1009) * (d1 % 1000003)) AS digest_checksum
+         |      FROM sdg) d,
+         |     (SELECT sum(s % 1000003) AS shingle_checksum FROM sex) h,
+         |     (SELECT count(*) AS n_band_rows,
+         |             sum((doc_id % 101) * (bkey % 1000003)) AS band_checksum
+         |      FROM sbnd) b""".stripMargin,
     "d_exact_dedup_counts" ->
       s"""$corpusCte
          |SELECT count(*) AS rows_in,

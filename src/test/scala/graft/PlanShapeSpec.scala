@@ -39,9 +39,9 @@ class PlanShapeSpec extends SparkSpecBase {
 
   /** Queries allowed an UNPARTITIONED Window, each with the structural
     * reason its window input is O(buckets), not O(rows) — the silent
-    * single-task bottleneck this lint exists to catch. Currently EMPTY:
-    * every windowed query in the suite partitions its window (the
-    * six entries are all histogram- or post-limit-bounded. A new query
+    * single-task bottleneck this lint exists to catch. Six vetted
+    * entries, each histogram- or post-limit-bounded (the window's input
+    * is O(buckets) aggregate rows, never the corpus). A new query
     * showing up here must either partition its window or argue its way
     * into this map.
     */
