@@ -1178,6 +1178,34 @@ object DedupQueries {
         col("digest_checksum"), col("shingle_checksum"),
         col("n_band_rows"), col("band_checksum"))),
 
+    // STREAMING DEDUP INGEST — VERDICT r12 #2: the plant batch replayed
+    // as an id-ordered micro-batched file stream; every micro-batch is
+    // probed against base ∪ committed deltas through the SAME
+    // probeVerdictsWith path and its kept docs land in epoch-partitioned
+    // delta tables (exactly-once under replay via epoch isolation +
+    // epoch overwrite — see graft.streaming.DedupIngest). Output = the
+    // kept-set audit read back from the PERSISTED deltas. The mirror
+    // recomputes the batch 'new' set (≡ the stream's kept set under
+    // id-ordered arrival, StreamIngestSpec's invariant), replays the
+    // digest/band checksums from raw text, and derives the per-epoch
+    // keep distribution from the deterministic ntile chunking.
+    "d_stream_ingest" -> ((s, dir) => {
+      val (dDocT, dBandT) = graft.streaming.DedupIngest.ensureStreamIngested(s, dir)
+      val docAgg = s.table(dDocT).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("doc_id")).as("kept_id_checksum"),
+        sum((col("doc_id") % 1009L) * (col("d1") % 1000003L)).as("digest_checksum"),
+        count_distinct(col("epoch")).as("n_epochs_with_keeps"))
+      val bandAgg = s.table(dBandT).agg(
+        count(lit(1)).as("n_band_rows"),
+        sum((col("doc_id") % 101L) * (col("bkey") % 1000003L)).as("band_checksum"))
+      docAgg
+        .crossJoin(broadcast(bandAgg))
+        .select(
+          col("n_kept"), col("kept_id_checksum"), col("digest_checksum"),
+          col("n_epochs_with_keeps"), col("n_band_rows"), col("band_checksum"))
+    }),
+
     // Duplicate-CLUSTER resolution: near-dup pairs are a graph; keeping
     // one doc per duplicate set needs its connected components, not just
     // pairs (a–b, b–c must collapse to ONE keeper, not two independent
@@ -1589,6 +1617,34 @@ object DedupQueries {
          |     (SELECT count(*) AS n_band_rows,
          |             sum((doc_id % 101) * (bkey % 1000003)) AS band_checksum
          |      FROM sbnd) b""".stripMargin,
+    // Streaming ingest: the kept set ≡ the batch 'new' set under
+    // id-ordered arrival; the per-epoch distribution falls out of the
+    // deterministic ntile chunking (epoch i keeps = 'new' docs whose
+    // chunk is i+1).
+    "d_stream_ingest" ->
+      s"""${incOracleCte(exactBcDigest, withDigests = true)},
+         |newdocs AS MATERIALIZED (SELECT doc_id FROM v WHERE verdict = 'new'),
+         |chk AS (SELECT doc_id,
+         |               ntile(${graft.streaming.DedupIngest.NumChunks})
+         |                 OVER (ORDER BY doc_id) AS chunk
+         |        FROM batch),
+         |kdg AS (SELECT dg.doc_id, dg.d1, dg.d2 FROM dg JOIN newdocs USING (doc_id)),
+         |kex AS (SELECT ex.doc_id, ex.s FROM ex JOIN newdocs USING (doc_id)),
+         |${bandCtesDuck("kex", "kmh", "kbnd")}
+         |SELECT d.n_kept,
+         |       CAST(d.kept_id_checksum AS BIGINT) AS kept_id_checksum,
+         |       CAST(d.digest_checksum AS BIGINT) AS digest_checksum,
+         |       e.n_epochs_with_keeps,
+         |       b.n_band_rows,
+         |       CAST(b.band_checksum AS BIGINT) AS band_checksum
+         |FROM (SELECT count(*) AS n_kept, sum(doc_id) AS kept_id_checksum,
+         |             sum((doc_id % 1009) * (d1 % 1000003)) AS digest_checksum
+         |      FROM kdg) d,
+         |     (SELECT count(DISTINCT c.chunk) AS n_epochs_with_keeps
+         |      FROM chk c JOIN newdocs n ON c.doc_id = n.doc_id) e,
+         |     (SELECT count(*) AS n_band_rows,
+         |             sum((doc_id % 101) * (bkey % 1000003)) AS band_checksum
+         |      FROM kbnd) b""".stripMargin,
     "d_exact_dedup_counts" ->
       s"""$corpusCte
          |SELECT count(*) AS rows_in,
