@@ -74,6 +74,41 @@ object Sinks {
       )},"fetchedAt":${q(fetchedAt)}}"""
   }
 
+  /** K2 at SCALE (VERDICT r12 #8) — [[jsonEnvelope]] is parity-faithful
+    * to the reference's single HTTP response body (pages/api/etl/
+    * restart.js:14-20) and bounded by the L3 source cap at 500 rows,
+    * but a 100 TB run cannot materialize its user array on the driver.
+    * This variant writes the SAME envelope as a two-part dataset: the
+    * users array as partitioned JSON-lines (`df.write.json` — one file
+    * per task, never collected, never single-threaded) and a 1-row
+    * header document {metrics, fallbackUsed, sourceUrl, fetchedAt,
+    * usersPath} pointing at it. SinksSpec asserts the parsed content
+    * equals the collect-based envelope field-for-field.
+    */
+  def writeJsonEnvelopeScaled(
+      users: DataFrame,
+      metrics: DataFrame,
+      fallbackUsed: Boolean,
+      sourceUrl: String,
+      fetchedAt: String,
+      dir: String
+  ): Unit = {
+    users.write.mode("overwrite").json(s"$dir/users")
+    metrics
+      .select(struct(metrics.columns.map(col): _*).as("metrics"))
+      .select(
+        col("metrics"),
+        lit(fallbackUsed).as("fallbackUsed"),
+        lit(sourceUrl).as("sourceUrl"),
+        lit(fetchedAt).as("fetchedAt"),
+        lit("users").as("usersPath")
+      )
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .json(s"$dir/envelope")
+  }
+
   /** K4 — one formatted log line: `ts | Stage | message` (etl.json:12-14). */
   def logLine(ts: String, stage: String, message: String): String =
     s"$ts | $stage | $message"

@@ -99,10 +99,23 @@ def load_preclassified():
             fams[name] = fam
     return fams
 
+def free_gb(path):
+    st = os.statvfs(path)
+    return st.f_bavail * st.f_frsize / 1e9
+
 def main(out_dir, sf_dir, timeout_s=None):
     con = connect(sf_dir)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     preclass = load_preclassified()
+    # ENOSPC pre-flight (VERDICT r12 #6): the r12 dixfam sweep lost a
+    # mirror run to a full spill dir mid-query — the memory_limit guard
+    # bounds RAM, not disk. Check free space on the spill filesystem
+    # BEFORE launching each mirror; a skipped mirror is reported as a
+    # TIMEOUT-class row (evidence gap, surfaced loudly by sweep_summary
+    # unless classified) instead of dying hours in with ENOSPC.
+    min_free = float(os.environ.get("ORACLE_MIN_FREE_GB", "20"))
+    spill_dir = os.environ.get("ORACLE_TMP", "/tmp/duckdb_spill")
+    os.makedirs(spill_dir, exist_ok=True)
     n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
@@ -118,6 +131,13 @@ def main(out_dir, sf_dir, timeout_s=None):
             print(f"TIMEOUT {name}: pre-classified mirror family "
                   f"[{preclass[name]}], not re-run (engine output present: "
                   f"{len(got)} rows)")
+            n_timeout += 1
+            continue
+        avail = free_gb(spill_dir)
+        if avail < min_free:
+            print(f"TIMEOUT {name}: disk pre-flight — only {avail:.1f} GB free on "
+                  f"{spill_dir} (< ORACLE_MIN_FREE_GB={min_free:g}); mirror not "
+                  f"launched to avoid a mid-query ENOSPC")
             n_timeout += 1
             continue
         timer = None

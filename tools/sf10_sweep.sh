@@ -12,7 +12,11 @@
 #      timeout-class mirrors as annotated TIMEOUTs instead of re-burning
 #      the cap on each (their engine sides still run in the batch);
 #      tools/sweep_summary.py then enforces that every TIMEOUT row —
-#      measured or pre-classified — carries a documented family.
+#      measured or pre-classified — carries a documented family;
+#      ORACLE_MIN_FREE_GB (default 20): per-mirror disk pre-flight —
+#      a mirror is not launched if the spill filesystem has less free,
+#      and the log carries a "disk pre-flight" TIMEOUT row instead of a
+#      mid-query ENOSPC (r12 lost a dixfam mirror run that way).
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SNAP="$1"; OUT="$2"; shift 2
