@@ -1227,6 +1227,47 @@ object EmbeddingQueries {
   private def cosSql(qv: String, cv: String, qn: String, cn: String) =
     s"${dotDuck(qv, cv)} / (sqrt($qn) * sqrt($cn))"
 
+  /** Unrolled fixed-dim (64) dot product — the same left-associative
+    * fold order as [[dotDuck]] (0 + p₁ + p₂ + …), so the same IEEE
+    * double, but as one flat vectorized expression instead of a per-row
+    * list comprehension + lambda reduce (the scalar-at-a-time shape the
+    * r12 minhash mirror re-plan measured as the disease). Verified
+    * per-row identical to the dotDuck form on the sf1 corpus.
+    */
+  private def dotDuck64(a: String, b: String): String =
+    (1 to 64).map(i => s"($a)[$i] * ($b)[$i]")
+      .mkString("(CAST(0 AS DOUBLE) + ", " + ", ")")
+
+  private def cosSql64(qv: String, cv: String, qn: String, cn: String) =
+    s"${dotDuck64(qv, cv)} / (sqrt($qn) * sqrt($cn))"
+
+  /** Full-corpus nearest-centroid assignment `name(vec_id, cid)` over
+    * `xCte` (vec col `xv`, norm `xn`) × `centCte` (cid, `cv`, `cn`) —
+    * the r13 re-plan of the nxk-assignment mirror family (VERDICT r12
+    * #1). The old cross-join + per-vector row_number() window form
+    * sorts n×k rows and evaluates the lambda-fold dot per pair: TIMEOUT
+    * (>900 s) at sf10. This form is the verify-skill's prescribed
+    * scalar-max + tie-break join-back: two streaming aggregates with
+    * 8-byte states (a struct_pack argmin was measured kernel-OOMing at
+    * the same scale — the documented 100M-row struct-aggregate balloon)
+    * and the unrolled dot. Same argmax semantics bit-for-bit: max cos,
+    * ties to the smallest cid, cos recomputed by the identical
+    * expression on both passes. Measured sf10: 104 s vs >900 s; sf1
+    * per-row identical to the window form.
+    */
+  private def argmaxAsgDuck(
+      name: String, xCte: String, centCte: String,
+      xv: String = "v", xn: String = "nrm",
+      cv: String = "v", cn: String = "nrm"): String = {
+    val cos = cosSql64(s"x.$xv", s"c.$cv", s"x.$xn", s"c.$cn")
+    s"""${name}mx AS (SELECT x.vec_id, max($cos) AS mc
+       |       FROM $xCte x CROSS JOIN $centCte c GROUP BY x.vec_id),
+       |$name AS (SELECT x.vec_id, min(c.cid) AS cid
+       |        FROM $xCte x JOIN ${name}mx USING (vec_id) CROSS JOIN $centCte c
+       |        WHERE $cos = ${name}mx.mc
+       |        GROUP BY x.vec_id)""".stripMargin
+  }
+
   /** One unrolled greedy MMR round as a DuckDB CTE pair: the remaining
     * candidates' max-sim-to-selected joins in, the round's winner is the
     * (score DESC, neighbor_id) row_number()=1 row, and `a_r` accumulates
@@ -1260,14 +1301,10 @@ object EmbeddingQueries {
     * normed-vector CTE in scope) — shared by the `e_ivf_topk` oracle and
     * the recall-measurement oracle, mirroring [[ivfTopK]] exactly. */
   private lazy val ivfScSql: String =
-    s"""cent AS (SELECT vec_id AS cid, v, nrm FROM n
+    s"""cent AS MATERIALIZED (SELECT vec_id AS cid, v, nrm FROM n
        |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
        |                         FROM embeddings) = 0),
-       |asg AS (SELECT vec_id, cid FROM (
-       |  SELECT x.vec_id, c.cid,
-       |    row_number() OVER (PARTITION BY x.vec_id
-       |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-       |  FROM n x CROSS JOIN cent c) WHERE rn = 1),
+       |${argmaxAsgDuck("asg", "n", "cent")},
        |probes AS (SELECT query_id, cid FROM (
        |  SELECT q.vec_id AS query_id, c.cid,
        |    row_number() OVER (PARTITION BY q.vec_id
@@ -1880,28 +1917,23 @@ object EmbeddingQueries {
 
   /** Shared DuckDB CTE chain for the incremental-index mirrors: base
     * split → √n̄ base seeding → exact base/batch argmax assignments →
-    * per-cell fixed-point batch drift (`dr`). Deliberately exact n×k —
-    * the documented timeout family at sf10.
+    * per-cell fixed-point batch drift (`dr`). Still exactly n×k dot
+    * evaluations, but in the scalar-max + tie-back shape
+    * ([[argmaxAsgDuck]]) that cleared sf10 in minutes where the window
+    * form timed out.
     */
   private lazy val incIdxCtes: String =
     s"""$vecsCte,
        |base AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 3),
-       |cent AS (SELECT vec_id AS cid, v, nrm FROM base
+       |cent AS MATERIALIZED (SELECT vec_id AS cid, v, nrm FROM base
        |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
        |                         FROM base) = 0),
-       |basg AS (SELECT vec_id, cid FROM (
-       |  SELECT x.vec_id, c.cid,
-       |    row_number() OVER (PARTITION BY x.vec_id
-       |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-       |  FROM base x CROSS JOIN cent c) WHERE rn = 1),
+       |${argmaxAsgDuck("basg", "base", "cent")},
        |nbase AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base FROM basg GROUP BY cid),
        |batch AS (SELECT vec_id + $IncBatchOffset AS vec_id, v, nrm FROM n
        |          WHERE vec_id % 7 = 3),
-       |gasg AS (SELECT vec_id, cid, v FROM (
-       |  SELECT x.vec_id, c.cid, x.v,
-       |    row_number() OVER (PARTITION BY x.vec_id
-       |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-       |  FROM batch x CROSS JOIN cent c) WHERE rn = 1),
+       |${argmaxAsgDuck("gasg0", "batch", "cent")},
+       |gasg AS (SELECT a.vec_id, a.cid, x.v FROM gasg0 a JOIN batch x USING (vec_id)),
        |bsum AS (SELECT cid, r.range - 1 AS pos,
        |           CAST(sum(CAST(round(v[r.range] * $QScale) AS BIGINT)) AS BIGINT) AS sq,
        |           count(*) AS nb
@@ -2092,18 +2124,14 @@ object EmbeddingQueries {
          |      FROM sc)
          |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // Build audit over the full n×k assignment (deliberately exact —
-    // the same timeout-class-at-sf10 family as the e_ivf_topk mirror).
+    // Build audit over the full n×k assignment (exact; scalar-max +
+    // tie-back shape — the r13 re-plan of the nxk mirror family).
     "e_index_build" ->
       s"""$vecsCte,
-         |cent AS (SELECT vec_id AS cid, v, nrm FROM n
+         |cent AS MATERIALIZED (SELECT vec_id AS cid, v, nrm FROM n
          |         WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
          |                         FROM embeddings) = 0),
-         |asg AS (SELECT vec_id, cid FROM (
-         |  SELECT x.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY ${cosSql("x.v", "c.v", "x.nrm", "c.nrm")} DESC, c.cid) AS rn
-         |  FROM n x CROSS JOIN cent c) WHERE rn = 1),
+         |${argmaxAsgDuck("asg", "n", "cent")},
          |cells AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz,
          |                 CAST(sum(vec_id) AS BIGINT) AS vsum
          |          FROM asg GROUP BY cid),
@@ -2247,25 +2275,26 @@ object EmbeddingQueries {
       // c<k> reassembled centroid
       def step(k: Int): String = {
         val prev = s"c${k - 1}"
-        s"""a$k AS (SELECT vec_id, cid FROM (
-           |  SELECT x.vec_id, c.cid,
-           |    row_number() OVER (PARTITION BY x.vec_id
-           |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
-           |  FROM fit x CROSS JOIN $prev c) WHERE rn = 1),
+        s"""${argmaxAsgDuck(s"a$k", "fit", prev, xv = "qv", xn = "qn", cv = "cv", cn = "cn")},
            |s$k AS (SELECT a.cid, r.range - 1 AS pos,
            |         CAST(sum(x.qvi[r.range]) AS DOUBLE) / count(*) AS v
            |       FROM a$k a JOIN fit x ON x.vec_id = a.vec_id
            |            CROSS JOIN range(1, 65) r
            |       GROUP BY a.cid, r.range),
-           |c$k AS (SELECT cid, cv, ${dotDuck("cv", "cv")} AS cn FROM (
+           |c$k AS MATERIALIZED (SELECT cid, cv, ${dotDuck("cv", "cv")} AS cn FROM (
            |       SELECT cid, list(v ORDER BY pos) AS cv FROM s$k GROUP BY cid))""".stripMargin
       }
+      // MATERIALIZED on qn / fit / c<k> is load-bearing: the argmax
+      // assignments reference each twice (max pass + tie-back) and the
+      // c<k> chain is recursive — default inlining would re-derive the
+      // whole Lloyd chain per reference (the pagerank/nsym mirror
+      // lesson), where pinning keeps it at one execution each.
       s"""WITH q0 AS (SELECT vec_id,
          |    [CAST(round(CAST(x AS DOUBLE) * $QScale) AS BIGINT) for x in embedding] AS qvi
          |  FROM embeddings),
          |qv AS (SELECT vec_id, qvi, [CAST(x AS DOUBLE) for x in qvi] AS qv FROM q0),
-         |qn AS (SELECT vec_id, qvi, qv, ${dotDuck("qv", "qv")} AS qn FROM qv),
-         |fit AS (SELECT * FROM qn WHERE vec_id %
+         |qn AS MATERIALIZED (SELECT vec_id, qvi, qv, ${dotDuck("qv", "qv")} AS qn FROM qv),
+         |fit AS MATERIALIZED (SELECT * FROM qn WHERE vec_id %
          |        (SELECT greatest(1, count(*) //
          |                (64 * greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))))
          |         FROM embeddings) = 0),
@@ -2273,11 +2302,7 @@ object EmbeddingQueries {
          |       WHERE vec_id % (SELECT greatest(50, CAST(floor(sqrt(count(*))) AS BIGINT))
          |                       FROM embeddings) = 0),
          |${(1 to KMeansIters).map(step).mkString(",\n")},
-         |af AS (SELECT vec_id, cid FROM (
-         |  SELECT x.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY x.vec_id
-         |      ORDER BY ${cosSql("x.qv", "c.cv", "x.qn", "c.cn")} DESC, c.cid) AS rn
-         |  FROM qn x CROSS JOIN c$KMeansIters c) WHERE rn = 1),
+         |${argmaxAsgDuck("af", "qn", s"c$KMeansIters", xv = "qv", xn = "qn", cv = "cv", cn = "cn")},
          |probes AS (SELECT query_id, cid FROM (
          |  SELECT x.vec_id AS query_id, c.cid,
          |    row_number() OVER (PARTITION BY x.vec_id
