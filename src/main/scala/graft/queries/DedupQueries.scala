@@ -398,6 +398,7 @@ object DedupQueries {
         .filter(col("v") > col("u"))
         .select(col("v").as("c"), col("m").as("p"))
         .distinct()
+        .localCheckpoint() // two consumers below (mp groupBy + the join)
       // SMALL-STAR: per child, parents re-link to the min parent
       val mp = eL.groupBy(col("c").as("c0")).agg(min(col("p")).as("m"))
       e = eL.join(mp, eL("c") === mp("c0"))
